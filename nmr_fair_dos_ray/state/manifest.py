@@ -98,7 +98,12 @@ class Manifest:
         return {
             int(k)
             for k, v in self.partitions(stage).items()
-            if v.get("status") == "done" and (not v.get("path") or os.path.exists(v["path"]))
+            if v.get("status") == "done"
+            and all(
+                os.path.exists(pv)
+                for pk, pv in v.items()
+                if pk.endswith("path") and isinstance(pv, str)
+            )
         }
 
     def mark_partition(self, stage: str, pid: int, **fields: Any) -> None:
