@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
+sf0.001. ``queries()`` — one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data operators; each takes ``sf_dir`` and
+returns a DataFrame. ``oracle_sql()`` — the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names, same rounding); non-SQL-expressible
+pipelines (LSH bucketing, SimHash, heuristic language-ID, IVF recall,
+stubbed multimodal decode) are intentionally omitted there → rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +19,239 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the fulltext index over sf0.001 documents (SPIMI
+    invert → shard shuffle-merge → compressed shards) and serve BM25 top-10
+    via block-max WAND. Returns the hits joined with corpus stats."""
+    import pandas as pd
+
+    from nmr_fair_dos_ray.pipelines.doc_pipelines import (
+        BM25_QUERY, documents_index,
+    )
+    from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = documents_index(sf_dir)
+    reader = IndexReader(idx)
+    s = Searcher(reader)
+    hits = s.search(BM25_QUERY, k=10, algorithm="bmw")
+    return pd.DataFrame(
+        {
+            "query": [BM25_QUERY] * len(hits),
+            "rank": range(1, len(hits) + 1),
+            "doc_id": [d for d, _ in hits],
+            "score": [round(sc, 4) for _, sc in hits],
+            "n_docs": [reader.n_docs] * len(hits),
+            "avgdl": [round(reader.avgdl, 4)] * len(hits),
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from nmr_fair_dos_ray.pipelines import doc_pipelines as dp
+    from nmr_fair_dos_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / reference operator classes (SURVEY.md §2)
+        "q01_pricing_summary": rel.q01_pricing_summary,
+        "q03_top_building_orders": rel.q03_top_building_orders,
+        "q05_revenue_by_nation": rel.q05_revenue_by_nation,
+        "q_events_window": rel.q_events_window,
+        "q_record_merge": rel.q_record_merge,
+        "q_biggest_record": rel.q_biggest_record,
+        "q_most_event_types": rel.q_most_event_types,
+        "q_twokey_resolve": rel.q_twokey_resolve,
+        "q_bidirectional_edges": rel.q_bidirectional_edges,
+        # fulltext index pipelines (the engine core)
+        "q_df_top_terms": dp.q_df_top_terms,
+        "q_corpus_stats": dp.q_corpus_stats,
+        "q_bm25_top10": dp.q_bm25_top10,
+        "q_exact_lookup": dp.q_exact_lookup,
+        # text analysis / training-data ops
+        "q_token_stats_by_lang": dp.q_token_stats_by_lang,
+        "q_quality_features": dp.q_quality_features,
+        "q_langid": dp.q_langid,
+        "q_dedup_exact": dp.q_dedup_exact,
+        "q_minhash_neardup": dp.q_minhash_neardup,
+        "q_simhash_sample": dp.q_simhash_sample,
+        "q_fingerprints": dp.q_fingerprints,
+        # similarity search
+        "q_ann_top5": dp.q_ann_top5,
+        "q_ivf_overlap": dp.q_ivf_overlap,
+        # multimodal plumbing (stubbed decode kernel)
+        "q_image_pipeline": dp.q_image_pipeline,
+    }
+
+
+_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_WS_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-06-30'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q03_top_building_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM (
+                SELECT o.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                ORDER BY o.o_totalprice DESC, o.o_orderkey
+                LIMIT 10
+            )
+        """,
+        "q05_revenue_by_nation": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q_events_window": """
+            SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "q_record_merge": """
+            SELECT user_id, event_type, min(event_id) AS first_event_id,
+                   count(*) AS n_rows
+            FROM events GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
+        "q_biggest_record": """
+            SELECT user_id, count(*) AS n_events FROM events
+            GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 1
+        """,
+        "q_most_event_types": """
+            SELECT user_id, count(DISTINCT event_type) AS n_types FROM events
+            GROUP BY user_id ORDER BY n_types DESC, user_id LIMIT 1
+        """,
+        "q_twokey_resolve": """
+            SELECT CASE WHEN s.s_suppkey IS NOT NULL THEN 'supplier'
+                        WHEN c.c_custkey IS NOT NULL THEN 'customer'
+                        ELSE 'unresolved' END AS resolved_by,
+                   count(*) AS n_events
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
+            LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_bidirectional_edges": """
+            WITH edges AS (
+                SELECT o_custkey AS src, o_orderkey AS dst FROM orders
+                UNION
+                SELECT o_orderkey AS src, o_custkey AS dst FROM orders
+            )
+            SELECT src, count(*) AS n_out FROM edges GROUP BY src
+            ORDER BY n_out DESC, src LIMIT 20
+        """,
+        "q_df_top_terms": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+                )
+            )
+            SELECT term, count(*) AS df FROM toks
+            GROUP BY term ORDER BY df DESC, term LIMIT 50
+        """,
+        "q_corpus_stats": f"""
+            WITH counts AS (
+                SELECT doc_id, len({_WS_TOKENS}) AS n FROM documents
+            )
+            SELECT count(*) AS n_docs, sum(n) AS total_tokens,
+                   round(sum(n) * 1.0 / count(*), 4) AS avgdl
+            FROM counts
+        """,
+        "q_bm25_top10": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('data', 'pipeline', 'query')
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+        """,
+        "q_exact_lookup": """
+            SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id
+        """,
+        "q_token_stats_by_lang": f"""
+            WITH counts AS (
+                SELECT lang, len({_WS_TOKENS}) AS n FROM documents
+            )
+            SELECT lang, count(*) AS n_docs, sum(n) AS total_tokens
+            FROM counts GROUP BY lang ORDER BY lang
+        """,
+        "q_quality_features": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len({_WS_TOKENS}) AS n_tokens,
+                   round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                         / greatest(len({_WS_TOKENS}), 1), 4) AS mean_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "q_dedup_exact": """
+            SELECT keep_id, n_docs FROM (
+                SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+                FROM documents GROUP BY sha256(text)
+            ) WHERE n_docs > 1 ORDER BY keep_id
+        """,
+        "q_ann_top5": """
+            WITH q AS (
+                SELECT vec_id AS query_vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 8
+            ),
+            sims AS (
+                SELECT q.query_vec_id, e.vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) AS cosine
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_vec_id, vec_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_vec_id
+                           ORDER BY cosine DESC, vec_id
+                       ) AS rnk
+                FROM sims
+            )
+            SELECT query_vec_id, rnk::INT AS rank, vec_id, round(cosine, 4) AS cosine
+            FROM ranked WHERE rnk <= 5 ORDER BY query_vec_id, rnk
+        """,
+        # q_langid, q_minhash_neardup, q_simhash_sample, q_fingerprints,
+        # q_ivf_overlap, q_image_pipeline: intentionally no SQL oracle
+        # (heuristic / sketch / stubbed-kernel semantics) → rows-only check.
+    }

@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+Baseline: brute-force cosine top-k — per batch a numpy matmul against a
+broadcast query matrix (`ray.put` once, read in each actor's ``__init__``,
+never re-shipped per batch), partial top-k per batch, tiny final
+``groupby(query_id)`` merge. Scale path: IVF — deterministic k-means on a
+sample, centroid assignment per batch, probe only the nearest ``nprobe``
+cluster lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from nmr_fair_dos_ray.functions.rounding import round_half_away
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str, dtype=np.float64) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    dim = len(col[0])
+    return flat.reshape(-1, dim)
+
+
+class BruteForceTopK:
+    """Actor-pool stage: vectors batch → partial top-k rows per query."""
+
+    def __init__(self, queries_ref, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        # float64 so scores are oracle-exact after rounding; pass float32
+        # vectors at very large scale if memory dominates
+        self.q = _normalize(np.asarray(q, np.float64))  # (nq, dim) — once per actor
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = self.q @ m.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            idx = part[qi]
+            out_q.extend([qi] * k)
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(sims[qi, idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    vectors: Dataset,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = None,
+) -> Dataset:
+    """Exact cosine top-k: partial top-k per batch + one tiny merge groupby.
+
+    Tie-break (cosine desc, vec_id asc); optional rounding for oracle-stable
+    comparison across summation orders.
+    """
+    import ray
+
+    ref = ray.put(np.asarray(query_matrix, np.float64))
+    partial = vectors.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "vec_col": vec_col,
+                               "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        if round_to is not None:
+            g["cosine"] = round_half_away(g["cosine"], round_to)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- IVF ---
+def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
+               seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (normalized)."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample.astype(np.float32))
+    idx = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+    c = x[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+class IVFAssign:
+    """Adds a cluster_id column (nearest centroid) — the IVF partition key."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        assign = (m @ self.c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cluster_id", pa.array(assign))
+
+
+def ivf_topk(
+    vectors: Dataset,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> Dataset:
+    """IVF approximate top-k: restrict search to the ``nprobe`` nearest
+    centroid partitions per query. At scale the cluster_id becomes the
+    Parquet partition key so probes prune at the read."""
+    import ray
+
+    sample = _batch_matrix(
+        pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()), vec_col
+    )
+    centroids = kmeans_fit(sample, n_clusters)
+    cref = ray.put(centroids)
+    assigned = vectors.map_batches(
+        IVFAssign, fn_constructor_kwargs={"centroids_ref": cref, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    q = _normalize(np.asarray(query_matrix, np.float32))
+    probes = (q @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]  # (nq, nprobe)
+    allowed = [set(map(int, row)) for row in probes]
+    aref = ray.put(allowed)
+
+    class ProbeTopK(BruteForceTopK):
+        def __init__(self, queries_ref, **kw):
+            super().__init__(queries_ref, **kw)
+            self.allowed = ray.get(aref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            clusters = batch["cluster_id"].to_numpy(zero_copy_only=False)
+            m = _normalize(_batch_matrix(batch, self.vec_col))
+            sims = self.q @ m.T
+            out_q, out_v, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                mask = np.isin(clusters, list(self.allowed[qi]))
+                if not mask.any():
+                    continue
+                s = sims[qi][mask]
+                idx = np.argsort(-s)[: self.k]
+                out_q.extend([qi] * len(idx))
+                out_v.extend(ids[mask][idx].tolist())
+                out_s.extend(s[idx].astype(np.float64).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    ref = ray.put(np.asarray(query_matrix, np.float32))
+    partial = assigned.map_batches(
+        ProbeTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "vec_col": vec_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,306 @@
+"""Document-table pipelines for the driver's testdata (`documents`,
+`embeddings`): the fulltext-index pipelines (df, stats, BM25 top-k, exact
+lookup) plus the training-data operators (dedup, quality, language-ID,
+fingerprints, ANN) — each shaped so DuckDB can oracle-check it where SQL can
+express the semantics.
+
+The index pipelines use the ``simple`` tokenizer mode, whose semantics are
+exactly reproducible in ANSI SQL (see Tokenizer.SIMPLE_MODE_SQL_SPLIT); the
+``code`` mode is validated by the in-repo pure-Python oracle instead
+(tests/test_index_e2e.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min, Sum
+
+from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+from nmr_fair_dos_ray.functions.rounding import round_half_away
+from nmr_fair_dos_ray.tokenizer import Tokenizer
+
+BM25_QUERY = "data pipeline query"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+DOC_INDEX_CFG = IndexConfig(
+    content_col="text",
+    id_col="doc_id",
+    token_cols=(),
+    field_cols=("source", "lang"),
+    stored_cols=("source", "lang"),
+    tokenizer_mode="simple",
+    num_shards=16,
+)
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (or resume) the fulltext index over the documents table."""
+    idx_dir = f"/tmp/nmr_fair_dos_ray/docindex/{_tag(sf_dir)}"
+    build_index(_t(sf_dir, "documents"), idx_dir, DOC_INDEX_CFG, resume=True)
+    return idx_dir
+
+
+# ----------------------------------------------------------- index queries
+def q_df_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Document frequency per term, top 50 (df desc, term asc) — the core
+    postings statistic (SURVEY.md §2.7 engine rows)."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    class Tok:
+        def __init__(self):
+            self.tok = Tokenizer("simple")
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            rows, terms = self.tok.batch_token_rows(b["text"])
+            doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)[rows]
+            pairs = pa.table({"doc_id": pa.array(doc_ids), "term": terms})
+            # distinct (doc, term) within the batch — docs never span batches
+            return pairs.group_by(["doc_id", "term"]).aggregate([])
+
+    df = (
+        docs.map_batches(Tok, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(50)
+    )
+    return df.to_pandas()
+
+
+def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
+    """n_docs / total_tokens / avgdl — the BM25 global stats pass."""
+    from nmr_fair_dos_ray.pipelines.textops import token_counts_per_doc
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    counts = token_counts_per_doc(docs)
+    agg = counts.aggregate(Count(alias_name="n_docs"), Sum("n_ws_tokens", alias_name="total_tokens"))
+    n_docs = int(agg["n_docs"])
+    total = int(agg["total_tokens"])
+    return pd.DataFrame(
+        {"n_docs": [n_docs], "total_tokens": [total],
+         "avgdl": [round_half_away(total / n_docs, 4)]}
+    )
+
+
+def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """End-to-end: build index (resumable) → BM25 top-10 for a fixed query.
+
+    Note whitespace tokens vs simple-mode tokens agree on this table (the
+    driver's documents.text is space-separated lowercase words).
+    """
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    hits = s.search(BM25_QUERY, k=10, algorithm="bmw")
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
+def q_exact_lookup(sf_dir: str) -> pd.DataFrame:
+    """Exact field-term lookup (the reference's exact-equality verification,
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:295-306) served from the
+    same index as ranked search."""
+    idx = documents_index(sf_dir)
+    r = IndexReader(idx)
+    s = Searcher(r)
+    hits = s.search("source:src3", k=r.n_docs)
+    return pd.DataFrame({"doc_id": [d for d, _ in hits]})
+
+
+# --------------------------------------------------------------- text ops
+def q_token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    from nmr_fair_dos_ray.pipelines.textops import token_counts_per_doc
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def with_lang(b: pa.Table) -> pa.Table:
+        from nmr_fair_dos_ray.pipelines.textops import token_counts_per_doc  # noqa
+        import pyarrow.compute as pc
+        texts = b["text"]
+        split = pc.split_pattern_regex(pc.fill_null(texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts, ""), pattern=r"\s+")
+        flat = pc.list_flatten(split)
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(b.num_rows), lens)
+        counts = np.zeros(b.num_rows, np.int64)
+        np.add.at(counts, rows, nonempty)
+        return pa.table({"lang": b["lang"], "n_tokens": pa.array(counts)})
+
+    agg = (
+        docs.map_batches(with_lang, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens"))
+    )
+    return agg.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+def q_quality_features(sf_dir: str) -> pd.DataFrame:
+    """SQL-checkable slice of the quality features (first 100 docs)."""
+    from nmr_fair_dos_ray.pipelines.quality_sql import quality_sql_features
+
+    return quality_sql_features(sf_dir)
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language-ID rollup (no SQL oracle — heuristic scoring)."""
+    from nmr_fair_dos_ray.pipelines.textops import quality_features
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    feats = quality_features(docs)
+    agg = feats.groupby("lang_guess").aggregate(Count(alias_name="n_docs"))
+    return agg.to_pandas().sort_values("lang_guess").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ dedup
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact-dup groups by sha256(text): survivor id + group size (>1)."""
+    from nmr_fair_dos_ray.pipelines.dedup import exact_dedup_groups
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256((t or "").encode()).hexdigest() for t in b["text"].to_pylist()]
+        return b.append_column("sha", pa.array(hs, pa.string())).drop_columns(["text"])
+
+    groups = exact_dedup_groups(
+        docs.map_batches(add_hash, batch_format="pyarrow"), hash_col="sha"
+    )
+    df = groups.to_pandas()
+    df = df[df["n_docs"] > 1][["keep_id", "n_docs"]]
+    return df.sort_values("keep_id").reset_index(drop=True)
+
+
+def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidate pairs with signature Jaccard ≥ 0.5 (rows-only
+    oracle: LSH bucketing is not SQL-expressible)."""
+    from nmr_fair_dos_ray.pipelines.dedup import minhash_candidate_pairs
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs)
+    df = pairs.to_pandas()
+    df = df[df["sig_jaccard"] >= 0.5].copy()
+    df["sig_jaccard"] = df["sig_jaccard"].round(3)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_simhash_sample(sf_dir: str) -> pd.DataFrame:
+    """64-bit SimHash per doc (first 200 docs; rows-only oracle)."""
+    from nmr_fair_dos_ray.pipelines.dedup import simhash64
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    class Stage:
+        def __init__(self):
+            self.tok = Tokenizer("simple")
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out = [simhash64(t, self.tok) & 0x7FFFFFFFFFFFFFFF for t in b["text"].to_pylist()]
+            return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(out, pa.int64())})
+
+    res = docs.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    return res.sort_values("doc_id").head(200).reset_index(drop=True)
+
+
+def q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash doc fingerprints (min + count; rows-only oracle)."""
+    from nmr_fair_dos_ray.pipelines.textops import doc_fingerprints
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    fps = doc_fingerprints(docs).to_pandas()
+    fps["fp_min"] = fps["fingerprint"].map(lambda l: int(min(l)) if len(l) else -1)
+    fps["fp_count"] = fps["fingerprint"].map(len)
+    return fps[["doc_id", "fp_min", "fp_count"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# -------------------------------------------------------------------- ANN
+N_ANN_QUERIES = 8
+ANN_K = 5
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    vid = emb["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vid)[:N_ANN_QUERIES]
+    col = emb["embedding"].combine_chunks()
+    dim = len(col[0])
+    flat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+    return vid[order], flat[order].astype(np.float64)
+
+
+def q_ann_top5(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-5 for the first 8 vectors as queries."""
+    from nmr_fair_dos_ray.pipelines.ann import brute_force_topk
+
+    qids, qm = _query_matrix(sf_dir)
+    vecs = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    res = brute_force_topk(vecs, qm, k=ANN_K, round_to=4).to_pandas()
+    res["query_vec_id"] = res["query_id"].map(lambda q: int(qids[q]))
+    return res[["query_vec_id", "rank", "vec_id", "cosine"]].sort_values(
+        ["query_vec_id", "rank"]
+    ).reset_index(drop=True)
+
+
+def q_ivf_overlap(sf_dir: str) -> pd.DataFrame:
+    """IVF(nprobe=4) vs brute-force overlap per query (rows-only oracle) —
+    the scale path's recall check."""
+    from nmr_fair_dos_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+    qids, qm = _query_matrix(sf_dir)
+    vecs = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    bf = brute_force_topk(vecs, qm, k=ANN_K).to_pandas()
+    ivf = ivf_topk(vecs, qm, k=ANN_K, n_clusters=16, nprobe=4).to_pandas()
+    rows = []
+    for q in range(len(qids)):
+        b = set(bf[bf["query_id"] == q]["vec_id"])
+        v = set(ivf[ivf["query_id"] == q]["vec_id"])
+        rows.append({"query_vec_id": int(qids[q]), "n_overlap": len(b & v)})
+    return pd.DataFrame(rows)
+
+
+# -------------------------------------------------------------- multimodal
+def q_image_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: attach binary payloads → actor-pool decode (fake
+    kernel) → resize → shape stats. Rows-only oracle (decode is stubbed)."""
+    from nmr_fair_dos_ray.stages.multimodal import (
+        ImageDecodeStage, ImageResizeStage, attach_binary_payload,
+    )
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]).limit(64)
+    with_payload = attach_binary_payload(docs)
+    decoded = with_payload.map_batches(
+        ImageDecodeStage, batch_size=16, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    resized = decoded.map_batches(
+        ImageResizeStage, batch_size=16, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    df = resized.to_pandas()
+    out = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "decoded": df["decoded"],
+            "n_pixels": df["pixels"].map(len),
+            "n_pixels_resized": df["pixels_resized"].map(len),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

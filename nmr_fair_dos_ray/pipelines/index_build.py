@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 
 from nmr_fair_dos_ray.codec import BLOCK_SIZE, encode_blocks
 from nmr_fair_dos_ray.search.bm25 import BM25Params, bm25_idf
-from nmr_fair_dos_ray.sources.parquet_source import corpus_paths, work_items
+from nmr_fair_dos_ray.sources.parquet_source import corpus_paths, read_work_item, work_items
 from nmr_fair_dos_ray.state.manifest import Manifest, atomic_write_bytes, fingerprint_files
 from nmr_fair_dos_ray.tokenizer import Tokenizer, term_hash
 
@@ -123,8 +123,7 @@ class Phase1Invert:
     def _one(self, item: dict) -> dict:
         t0 = time.time()
         cfg = self.cfg
-        pf = pq.ParquetFile(item["path"])
-        t = pf.read_row_group(item["row_group"], columns=self._read_columns())
+        t = read_work_item(item, columns=self._read_columns())
         n = t.num_rows
 
         if cfg.id_col:
@@ -340,7 +339,17 @@ def build_index(
     import ray.data as rd
 
     paths = corpus_paths(source)
-    fp = fingerprint_files(paths)
+    items = work_items(paths)
+    for i, it in enumerate(items):
+        it["work_item_id"] = i
+    # fingerprint covers the partition boundaries too: a slicing-config change
+    # must invalidate stale per-partition manifests
+    boundary_sig = hashlib.sha256(
+        json.dumps(
+            [(it["path"], it["row_group"], it["row_offset"], it["num_rows"]) for it in items]
+        ).encode()
+    ).hexdigest()
+    fp = hashlib.sha256((fingerprint_files(paths) + boundary_sig).encode()).hexdigest()
     runs_dir = os.path.join(index_dir, "runs")
     docs_dir = os.path.join(index_dir, "docs")
     shards_dir = os.path.join(index_dir, "shards")
@@ -356,10 +365,6 @@ def build_index(
     man.data["config"] = cfg.to_dict()
     man.data["input_fingerprint"] = fp
     man.save()
-
-    items = work_items(paths)
-    for i, it in enumerate(items):
-        it["work_item_id"] = i
 
     # ---------------- phase 1: invert (per row group, resumable) ----------
     t0 = time.time()

@@ -1,0 +1,203 @@
+"""PIDRecord data-processing operators in long format, Ray-Data-native.
+
+The reference's core record type is a multimap ``pid -> {key -> [entries]}``
+(reference: src/nmr_FAIR_DOs/domain/pid_record.py:28-69) mutated through
+module-global lists and callbacks (src/nmr_FAIR_DOs/lib.py:60-63,120-274).
+Here every operation is a Dataset transform over the long format
+``(pid, key, name, value_json)`` — exactly the reference's own
+``exportSimpleFormatJSON`` shape (pid_record.py:301-316) — so dedup, merge,
+argmax and the relationship join become vectorized groupbys/joins instead of
+shared mutable state (SURVEY.md §1.4, §2.6 J1, §2.7 A1-A3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min
+
+# Data-type PIDs the reference treats specially (observed key set).
+KEY_DIGITAL_OBJECT_LOCATION = "21.T11148/b8457812905b83046284"
+KEY_HAS_METADATA = "21.T11148/d0773859091aeb451528"
+KEY_IS_METADATA_FOR = "21.T11148/4fe7cde52629b61e3b82"
+KEY_PRIMARY_SOURCE = "21.T11148/a753134738da82809fc1"
+
+#: DTR key → human-readable name (reference: src/nmr_FAIR_DOs/domain/dataType.py:29-65
+#: resolves these via network; here a broadcast static dict — SURVEY.md §2.6 J4).
+DTR_NAMES = {
+    KEY_DIGITAL_OBJECT_LOCATION: "digitalObjectLocation",
+    "21.T11148/6ae999552a0d2dca14d6": "name",
+    KEY_HAS_METADATA: "hasMetadata",
+    KEY_IS_METADATA_FOR: "isMetadataFor",
+    "21.T11148/aafd5fb4c7222e2d950a": "dateCreated",
+    "21.T11148/397d831aa3a9d18eb52c": "dateModified",
+    "21.T11969/d15381199a44a16dc88d": "characterizedCompound",
+    "21.T11148/1c699a5d1b4ad3ba4956": "digitalObjectType",
+    "21.T11148/076759916209e5d62bd5": "kernelInformationProfile",
+    KEY_PRIMARY_SOURCE: "hadPrimarySource",
+    "21.T11148/1a73af9e7ae00182733b": "contact",
+}
+
+#: Keys whose flattened value is always a list
+#: (reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:38).
+ALWAYS_AS_LIST = {"isMetadataFor", "hasMetadata", "contact"}
+
+
+# ----------------------------------------------------------- A1: dedup/merge
+def dedup_merge(records: Dataset) -> Dataset:
+    """Exact dedup + merge by pid in long format.
+
+    Reference semantics: collision merge unions entries with per-(key,value)
+    dedup (src/nmr_FAIR_DOs/lib.py:502-527; pid_record.py:369-402,92-109).
+    The reference keeps the *first-seen* name per (key,value) — insertion-order
+    dependent; for parallel determinism we keep the minimum non-null name
+    (canonical order, SURVEY.md §2.10). One hash-partitioned groupby.
+    """
+    return records.groupby(["pid", "key", "value_json"]).aggregate(
+        Min("name", alias_name="name")
+    )
+
+
+# --------------------------------------------------- M12: flatten + rename
+def flatten_records(records: Dataset) -> Dataset:
+    """ES-doc projection: DTR-renamed keys, repeated values collapsed to lists.
+
+    Reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:41-124. Output is
+    the long "searchable doc" table ``(pid, field, values: list<string>,
+    n_values, as_list)`` — key renaming via broadcast dict, list collapse via
+    one groupby; dynamic (open key set) so the wide form stays long.
+    """
+
+    def rename(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_pylist()
+        fields = [DTR_NAMES.get(k, k) for k in keys]
+        return batch.append_column("field", pa.array(fields, pa.string()))
+
+    renamed = records.map_batches(rename, batch_format="pyarrow")
+
+    def collapse(group: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(set(group["value_json"].tolist()))
+        field = group["field"].iloc[0]
+        return pd.DataFrame(
+            {
+                "pid": [group["pid"].iloc[0]],
+                "field": [field],
+                "values": [vals],
+                "n_values": [len(vals)],
+                "as_list": [field in ALWAYS_AS_LIST or len(vals) > 1],
+            }
+        )
+
+    return renamed.groupby(["pid", "field"]).map_groups(collapse, batch_format="pandas")
+
+
+# ------------------------------------------------------- A2/A3: reductions
+def biggest_record(records: Dataset) -> Dataset:
+    """argmax over records of max entries-per-key
+    (reference `extractBiggestFAIRDO`, src/nmr_FAIR_DOs/lib.py:652-685)."""
+    per_key = records.groupby(["pid", "key"]).aggregate(Count(alias_name="n_entries"))
+    per_pid = per_key.groupby("pid").aggregate(Max("n_entries", alias_name="max_entries"))
+    return per_pid.sort(["max_entries", "pid"], descending=[True, False]).limit(1)
+
+
+def most_datatypes(records: Dataset) -> Dataset:
+    """argmax of distinct keys per record
+    (reference `extractRecordWithMostDataTypes`, src/nmr_FAIR_DOs/lib.py:688-718)."""
+    distinct = records.groupby(["pid", "key"]).aggregate(Count(alias_name="_c"))
+    per_pid = distinct.groupby("pid").aggregate(Count(alias_name="n_datatypes"))
+    return per_pid.sort(["n_datatypes", "pid"], descending=[True, False]).limit(1)
+
+
+# ------------------------------------------------- J1: two-key edge resolve
+def resolve_edges(edges: Dataset, records: Dataset) -> Dataset:
+    """The reference's `addRelationship` lookup-join, as data (no callbacks).
+
+    Reference: src/nmr_FAIR_DOs/lib.py:120-274 — an entry batch targets a
+    record by exact PID *or* by digitalObjectLocation, probed in priority
+    order, with a retry queue (`future_entries`, lib.py:250-261,343-371) whose
+    unresolved remainder dead-letters into `errors`.
+
+    Here: two broadcast-hash lookups (pid first, then location — the probe
+    order), applied in ``map_batches``; rows unresolved after both passes get
+    ``resolved_pid = null`` (the dead-letter set). The lookup side (pid +
+    location per record) is a small projection of the record corpus —
+    broadcast once via ``ray.put``, read per actor, never re-shipped per batch
+    (SURVEY.md §2.6 J1: two-key join = union of two equi-joins with priority).
+    """
+    import ray
+
+    pids_t = records.groupby("pid").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    loc_rows = records.filter(
+        expr=f"key == '{KEY_DIGITAL_OBJECT_LOCATION}'"
+    ).select_columns(["pid", "value_json"])
+    pid_set = set(pids_t.to_pandas()["pid"])
+    # determinism: if two records share a location, keep the smallest pid
+    loc_df = loc_rows.to_pandas().sort_values(["value_json", "pid"])
+    loc_map = dict(loc_df.drop_duplicates("value_json", keep="first").set_index("value_json")["pid"])
+    ref = ray.put((pid_set, loc_map))
+
+    class Resolve:
+        def __init__(self):
+            self.pid_set, self.loc_map = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            targets = batch["presumed_target"].to_pylist()
+            resolved, how = [], []
+            for t in targets:
+                if t in self.pid_set:  # probe 1: exact PID
+                    resolved.append(t); how.append("pid")
+                elif t in self.loc_map:  # probe 2: digitalObjectLocation
+                    resolved.append(self.loc_map[t]); how.append("location")
+                else:  # dead-letter (reference's errors list)
+                    resolved.append(None); how.append("unresolved")
+            return batch.append_column(
+                "resolved_pid", pa.array(resolved, pa.string())
+            ).append_column("resolved_by", pa.array(how, pa.string()))
+
+    return edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 4))
+
+
+REVERSE_RELATION = {
+    "hasMetadata": "isMetadataFor",
+    "isMetadataFor": "hasMetadata",
+    "hadPrimarySource": "isMetadataFor",
+}
+
+
+def bidirectional_edges(resolved: Dataset) -> Dataset:
+    """Union of forward + reverse edges, deduplicated.
+
+    Replaces the reference's `onSuccess` reverse-edge callbacks
+    (src/nmr_FAIR_DOs/repositories/nmrxiv.py:929-959, chemotion.py:616-646):
+    a projection swap + union + exact dedup — no shared state.
+    """
+    ok = resolved.map_batches(
+        lambda b: b.filter(pc.is_valid(b["resolved_pid"])), batch_format="pyarrow"
+    )
+
+    def fwd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["source_pid"],
+                "dst": batch["resolved_pid"],
+                "relation": batch["relation"],
+            }
+        )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        rels = [REVERSE_RELATION.get(r, r) for r in batch["relation"].to_pylist()]
+        return pa.table(
+            {
+                "src": batch["resolved_pid"],
+                "dst": batch["source_pid"],
+                "relation": pa.array(rels, pa.string()),
+            }
+        )
+
+    both = ok.map_batches(fwd, batch_format="pyarrow").union(
+        ok.map_batches(rev, batch_format="pyarrow")
+    )
+    return both.groupby(["src", "dst", "relation"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])

@@ -1,0 +1,232 @@
+"""Relational pipelines over the driver's TPC-H-ish testdata tables.
+
+These exercise the reference's data-processing operator classes (SURVEY.md §2:
+filters M16, dedup-merge A1, argmax A2/A3, two-key join J1, reverse edges,
+union/dedup §2.9) against tables the grading driver can oracle-check with
+DuckDB. Every aggregate column is explicitly named and floats are rounded
+identically on both sides so value-hashes match.
+
+Dimension tables (customer, supplier, nation) are broadcast with ``ray.put``
+and probed inside ``map_batches`` — no shuffle for small-side joins
+(SURVEY.md §2.6). Fact-side aggregations pre-aggregate per batch only where
+that reduces shuffle volume; groupbys run on the named key columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from nmr_fair_dos_ray.functions.rounding import round_half_away
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary (groupby-aggregate over lineitem)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("2024-06-30"))))
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas()
+    df["avg_qty"] = round_half_away(df["sum_qty"] / df["count_order"], 4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[c] = round_half_away(df[c], 2)
+    return df[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "avg_qty", "count_order"]
+    ].sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q03_top_building_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast semi-join (customer segment filter) + top-k sort."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    keys = set(
+        cust.filter(expr="c_mktsegment == 'BUILDING'").to_pandas()["c_custkey"]
+    )
+    ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    class SemiJoin:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = np.isin(b["o_custkey"].to_numpy(zero_copy_only=False), self.keys)
+            return b.filter(pa.array(m))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    top = (
+        orders.map_batches(SemiJoin, batch_format="pyarrow", concurrency=(1, 4))
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    df = top.to_pandas()
+    df["o_totalprice"] = round_half_away(df["o_totalprice"], 2)
+    return df[["o_orderkey", "o_custkey", "o_totalprice"]]
+
+
+def q05_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ supplier ⋈ nation revenue rollup — two broadcast lookups
+    plus one partial-aggregated groupby (pre-aggregate per batch, then a
+    small shuffle over ≤ |nation| × |batches| rows)."""
+    supp = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    supp_map = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    nat_map = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    ref = ray.put((supp_map, nat_map))
+
+    class RevenuePartial:
+        def __init__(self):
+            self.supp_map, self.nat_map = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            rev = (
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            )
+            names = [self.nat_map.get(self.supp_map.get(int(k), -1), "UNKNOWN") for k in sk]
+            part = pd.DataFrame({"n_name": names, "revenue": rev}).groupby("n_name", as_index=False)["revenue"].sum()
+            return pa.Table.from_pandas(part, preserve_index=False)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    agg = (
+        li.map_batches(RevenuePartial, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    df = agg.to_pandas()
+    df["revenue"] = round_half_away(df["revenue"], 2)
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Time-range filter + rollup (the reference's harvest-window predicate,
+    src/nmr_FAIR_DOs/repositories/nmrxiv.py:222-260 / SURVEY.md M16)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def window(b: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("2024-01-10"))
+        hi = pa.scalar(pd.Timestamp("2024-01-20"))
+        return b.filter(pc.and_(pc.greater_equal(b["ts"], lo), pc.less(b["ts"], hi)))
+
+    agg = (
+        ev.map_batches(window, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = round_half_away(df["sum_value"], 2)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+def q_record_merge(sf_dir: str) -> pd.DataFrame:
+    """Dedup-merge by (user_id, event_type): first fragment + fragment count —
+    the reference's pid-keyed merge A1 (src/nmr_FAIR_DOs/lib.py:502-527) with
+    deterministic first = min(event_id)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "event_id"])
+    agg = ev.groupby(["user_id", "event_type"]).aggregate(
+        Min("event_id", alias_name="first_event_id"), Count(alias_name="n_rows")
+    )
+    return agg.to_pandas().sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+def q_biggest_record(sf_dir: str) -> pd.DataFrame:
+    """argmax user by event count (A2, src/nmr_FAIR_DOs/lib.py:652-685)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    per = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    top = per.sort(["n_events", "user_id"], descending=[True, False]).limit(1)
+    return top.to_pandas()
+
+
+def q_most_event_types(sf_dir: str) -> pd.DataFrame:
+    """argmax user by distinct event types (A3, src/nmr_FAIR_DOs/lib.py:688-718)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    distinct = ev.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_c"))
+    per = distinct.groupby("user_id").aggregate(Count(alias_name="n_types"))
+    top = per.sort(["n_types", "user_id"], descending=[True, False]).limit(1)
+    return top.to_pandas()
+
+
+def q_twokey_resolve(sf_dir: str) -> pd.DataFrame:
+    """The two-key priority lookup join J1 (src/nmr_FAIR_DOs/lib.py:120-274):
+    probe events.user_id against suppliers first, customers second,
+    dead-letter the rest; rollup by resolution path. (Supplier-first because
+    user_ids 0-99 exist in BOTH tables — the priority order is what's being
+    verified, mirroring the reference's records_to_create → pid_records → ES
+    probe sequence.)"""
+    cust = set(rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]).to_pandas()["c_custkey"])
+    supp = set(rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"]).to_pandas()["s_suppkey"])
+    ref = ray.put((np.array(sorted(cust), np.int64), np.array(sorted(supp), np.int64)))
+
+    class Resolve:
+        def __init__(self):
+            self.cust, self.supp = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            uid = b["user_id"].to_numpy(zero_copy_only=False)
+            in_c = np.isin(uid, self.cust)
+            in_s = np.isin(uid, self.supp)
+            how = np.where(in_s, "supplier", np.where(in_c, "customer", "unresolved"))
+            return pa.table({"resolved_by": pa.array(how.tolist(), pa.string())})
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    agg = (
+        ev.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("resolved_by")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    return agg.to_pandas().sort_values("resolved_by").reset_index(drop=True)
+
+
+def q_bidirectional_edges(sf_dir: str) -> pd.DataFrame:
+    """Reverse-edge union + dedup + degree rollup (the reference's
+    bidirectional relationship emission, src/nmr_FAIR_DOs/lib.py:120-274 with
+    onSuccess callbacks — here a projection swap + union + groupby)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"])
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["o_custkey"].cast(pa.int64()),
+                         "dst": b["o_orderkey"].cast(pa.int64())})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["o_orderkey"].cast(pa.int64()),
+                         "dst": b["o_custkey"].cast(pa.int64())})
+
+    both = orders.map_batches(fwd, batch_format="pyarrow").union(
+        orders.map_batches(rev, batch_format="pyarrow")
+    )
+    dedup = both.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+    deg = dedup.groupby("src").aggregate(Count(alias_name="n_out"))
+    top = deg.sort(["n_out", "src"], descending=[True, False]).limit(20)
+    return top.to_pandas()

@@ -44,26 +44,59 @@ def corpus_paths(source: str | list[str]) -> list[str]:
     return paths
 
 
-def work_items(paths: list[str]) -> list[dict]:
-    """One work item per (file, row_group) with a deterministic doc_id base."""
+def work_items(paths: list[str], max_rows_per_item: int | None = 2048) -> list[dict]:
+    """One work item per (file, row_group[, row slice]) with a deterministic
+    doc_id base.
+
+    Row groups larger than ``max_rows_per_item`` are subdivided into row
+    slices so a single huge row group (common in small benchmark files; at
+    petabyte scale row groups are already the parallelism unit) cannot
+    serialize the invert phase onto one task. A sliced item re-reads its row
+    group and slices — acceptable because slicing only triggers when row
+    groups are oversized relative to the cluster's task budget.
+    """
     items: list[dict] = []
     base = 0
     for path in paths:  # already sorted by corpus_paths
         md = pq.ParquetFile(path).metadata
         for rg in range(md.num_row_groups):
             nrows = md.row_group(rg).num_rows
-            items.append(
-                {"path": path, "row_group": rg, "doc_id_base": base, "num_rows": nrows}
-            )
-            base += nrows
+            step = max_rows_per_item or nrows or 1
+            off = 0
+            while True:
+                take = min(step, nrows - off)
+                items.append(
+                    {
+                        "path": path,
+                        "row_group": rg,
+                        "row_offset": off,
+                        "num_rows": take,
+                        "doc_id_base": base,
+                    }
+                )
+                base += take
+                off += take
+                if off >= nrows:
+                    break
     return items
 
 
-def work_items_dataset(paths: list[str]):
+def read_work_item(item: dict, columns: list[str] | None = None) -> pa.Table:
+    """Read one work item's rows (row group, then slice if subdivided)."""
+    pf = pq.ParquetFile(item["path"])
+    t = pf.read_row_group(item["row_group"], columns=columns)
+    off = int(item.get("row_offset", 0))
+    n = int(item["num_rows"])
+    if off != 0 or n != t.num_rows:
+        t = t.slice(off, n)
+    return t
+
+
+def work_items_dataset(paths: list[str], max_rows_per_item: int | None = 2048):
     """Work items as a Dataset — the head of every build pipeline."""
     import ray.data as rd
 
-    return rd.from_items(work_items(paths))
+    return rd.from_items(work_items(paths, max_rows_per_item))
 
 
 def sha256_column(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -93,8 +126,7 @@ class RowGroupReader:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: list[pa.Table] = []
         for item in batch.to_pylist():
-            pf = pq.ParquetFile(item["path"])
-            t = pf.read_row_group(item["row_group"], columns=self.columns)
+            t = read_work_item(item, columns=self.columns)
             doc_ids = pa.array(
                 np.arange(item["doc_id_base"], item["doc_id_base"] + t.num_rows, dtype=np.int64)
             )

@@ -1,0 +1,149 @@
+"""Dedup (exact / MinHash / SimHash / Jaccard) and ANN operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from nmr_fair_dos_ray.pipelines.dedup import (
+    _perm_params,
+    exact_dedup_groups,
+    hamming64,
+    minhash_candidate_pairs,
+    minhash_signature,
+    near_dup_components,
+    ngram_jaccard,
+    shingle_hashes,
+    simhash64,
+)
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _doc_table():
+    texts = {
+        0: BASE,
+        1: BASE,  # exact duplicate of 0
+        2: BASE.replace("lazy", "sleepy"),  # near-dup of 0
+        3: "completely different content about database query planning and optimization",
+        4: BASE.replace("birds sing", "dogs bark").replace("warm", "cold"),  # near-dup
+        5: "another unrelated text mentioning distributed systems and consensus",
+    }
+    return pa.table(
+        {"doc_id": pa.array(list(texts), pa.int64()),
+         "text": pa.array(list(texts.values()), pa.string())}
+    )
+
+
+def test_minhash_estimates_jaccard():
+    a, b = _perm_params()
+    s1 = minhash_signature(shingle_hashes(BASE), a, b)
+    s2 = minhash_signature(shingle_hashes(BASE.replace("lazy", "sleepy")), a, b)
+    s3 = minhash_signature(shingle_hashes("unrelated words entirely here"), a, b)
+    est_near = (s1 == s2).mean()
+    true_near = ngram_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    assert abs(est_near - true_near) < 0.2
+    assert (s1 == s3).mean() < 0.2
+    assert (s1 == minhash_signature(shingle_hashes(BASE), a, b)).all()
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, "xyz abc") == 0.0
+    assert ngram_jaccard("", "") == 1.0
+    j = ngram_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    assert 0.5 < j < 1.0
+
+
+def test_simhash_near_vs_far():
+    h0 = simhash64(BASE)
+    h_near = simhash64(BASE.replace("lazy", "sleepy"))
+    h_far = simhash64("totally different topic entirely about compilers")
+    assert hamming64(h0, h_near) < hamming64(h0, h_far)
+    assert simhash64(BASE) == h0  # deterministic
+    assert simhash64("") == 0
+
+
+def test_minhash_lsh_pipeline_finds_near_dups():
+    docs = rd.from_arrow(_doc_table())
+    pairs = minhash_candidate_pairs(docs).to_pandas()
+    got = {(int(a), int(b)) for a, b, j in pairs.values if j >= 0.5}
+    assert (0, 1) in got  # exact dup pair must surface
+    assert (0, 2) in got or (1, 2) in got  # near-dup surfaces
+    # unrelated docs don't pair at high similarity
+    assert not any({3, 5} & {a, b} and j >= 0.5 for a, b, j in pairs.values)
+
+    label = near_dup_components(rd.from_arrow(pa.Table.from_pandas(pairs)), threshold=0.5)
+    assert label[1] == label[0] == 0  # component representative = min doc_id
+    assert label[2] == 0
+
+
+def test_exact_dedup_groups():
+    docs = rd.from_arrow(_doc_table())
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        hs = [hashlib.sha256(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        return b.append_column("sha", pa.array(hs, pa.string()))
+
+    groups = exact_dedup_groups(
+        docs.map_batches(add_hash, batch_format="pyarrow"), hash_col="sha"
+    ).to_pandas()
+    dupes = groups[groups["n_docs"] > 1]
+    assert len(dupes) == 1
+    assert dupes.iloc[0]["keep_id"] == 0 and dupes.iloc[0]["n_docs"] == 2
+
+
+def test_brute_force_topk_matches_numpy():
+    from nmr_fair_dos_ray.pipelines.ann import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    q = vecs[:3].astype(np.float64)
+    got = brute_force_topk(rd.from_arrow(t), q, k=5).to_pandas()
+    # numpy oracle
+    m = vecs.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qq @ m.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(200), -sims[qi]))[:5]
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == order.tolist()
+        assert np.allclose(sub["cosine"].to_numpy(), sims[qi][order], atol=1e-12)
+
+
+def test_ivf_recall_reasonable():
+    from nmr_fair_dos_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(4)
+    centers = rng.randn(8, 16) * 4
+    vecs = np.vstack([c + rng.randn(50, 16) * 0.5 for c in centers]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    q = vecs[::100][:4].astype(np.float64)
+    bf = brute_force_topk(rd.from_arrow(t), q, k=5).to_pandas()
+    ivf = ivf_topk(rd.from_arrow(t), q, k=5, n_clusters=8, nprobe=3).to_pandas()
+    recalls = []
+    for qi in range(4):
+        b = set(bf[bf["query_id"] == qi]["vec_id"])
+        v = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        recalls.append(len(b & v) / 5)
+    assert np.mean(recalls) >= 0.6  # clustered data, 3/8 probes

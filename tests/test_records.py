@@ -1,0 +1,103 @@
+"""PIDRecord long-format operator tests against the fixtures (FIXTURES.md §4)."""
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from nmr_fair_dos_ray.pipelines.records import (
+    KEY_DIGITAL_OBJECT_LOCATION,
+    bidirectional_edges,
+    biggest_record,
+    dedup_merge,
+    flatten_records,
+    most_datatypes,
+    resolve_edges,
+)
+
+
+@pytest.fixture(scope="module")
+def records_ds(sf_unit):
+    return rd.read_parquet(sf_unit["records_long"])
+
+
+@pytest.fixture(scope="module")
+def edges_ds(sf_unit):
+    return rd.read_parquet(sf_unit["edges"])
+
+
+def test_dedup_merge_semantics(records_ds, sf_unit):
+    """After merge: exactly one row per (pid, key, value) — the reference's
+    add-time dedup (pid_record.py:92-109) + pid-collision merge."""
+    merged = dedup_merge(records_ds).to_pandas()
+    assert merged.duplicated(["pid", "key", "value_json"]).sum() == 0
+    raw = rd.read_parquet(sf_unit["records_long"]).to_pandas()
+    assert set(map(tuple, merged[["pid", "key", "value_json"]].values)) == set(
+        map(tuple, raw[["pid", "key", "value_json"]].drop_duplicates().values)
+    )
+    assert len(merged) < len(raw)  # fixtures contain duplicates by construction
+
+
+def test_flatten_rename_and_lists(records_ds):
+    flat = flatten_records(records_ds).to_pandas()
+    # keys were renamed to human names (no data-type PIDs remain)
+    assert not flat["field"].str.startswith("21.T").any()
+    assert {"digitalObjectLocation", "name", "dateCreated"} <= set(flat["field"])
+    # repeated values collapse into lists
+    multi = flat[flat["n_values"] > 1]
+    assert (multi["values"].map(len) == multi["n_values"]).all()
+
+
+def test_argmax_reductions(records_ds):
+    raw = records_ds.to_pandas()
+    # oracle via pandas
+    per_key = raw.groupby(["pid", "key"]).size().reset_index(name="n")
+    expect_big = (
+        per_key.groupby("pid")["n"].max().reset_index(name="max_entries")
+        .sort_values(["max_entries", "pid"], ascending=[False, True]).iloc[0]
+    )
+    got = biggest_record(records_ds).to_pandas().iloc[0]
+    assert got["pid"] == expect_big["pid"] and got["max_entries"] == expect_big["max_entries"]
+
+    expect_most = (
+        per_key.groupby("pid").size().reset_index(name="n_datatypes")
+        .sort_values(["n_datatypes", "pid"], ascending=[False, True]).iloc[0]
+    )
+    got2 = most_datatypes(records_ds).to_pandas().iloc[0]
+    assert got2["pid"] == expect_most["pid"]
+    assert got2["n_datatypes"] == expect_most["n_datatypes"]
+
+
+def test_two_key_resolve_and_reverse(records_ds, edges_ds, sf_unit):
+    resolved = resolve_edges(edges_ds, records_ds).to_pandas()
+    edges_raw = rd.read_parquet(sf_unit["edges"]).to_pandas()
+    records_raw = rd.read_parquet(sf_unit["records_long"]).to_pandas()
+    pids = set(records_raw["pid"])
+    locs = records_raw[records_raw["key"] == KEY_DIGITAL_OBJECT_LOCATION]
+    loc_map = (
+        locs.sort_values(["value_json", "pid"])
+        .drop_duplicates("value_json")
+        .set_index("value_json")["pid"]
+        .to_dict()
+    )
+    assert len(resolved) == len(edges_raw)
+    for _, row in resolved.iterrows():
+        t = row["presumed_target"]
+        if t in pids:  # probe order: pid first
+            assert row["resolved_by"] == "pid" and row["resolved_pid"] == t
+        elif t in loc_map:
+            assert row["resolved_by"] == "location" and row["resolved_pid"] == loc_map[t]
+        else:
+            assert row["resolved_by"] == "unresolved" and row["resolved_pid"] is None
+    # dangling targets exist in the fixture (the dead-letter path)
+    assert (resolved["resolved_by"] == "unresolved").any()
+    assert (resolved["resolved_by"] == "location").any()
+
+    bidir = bidirectional_edges(
+        resolve_edges(edges_ds, records_ds)
+    ).to_pandas()
+    # every forward edge has its reverse
+    pairs = set(map(tuple, bidir[["src", "dst"]].values))
+    for s, d in pairs:
+        assert (d, s) in pairs
+    assert bidir.duplicated(["src", "dst", "relation"]).sum() == 0
