@@ -17,6 +17,11 @@ Block layout per term (Arrow struct, stored in shard parquet files):
     max_score  float64  upper bound of BM25 contribution within the block
                         (float64 on purpose: a float32-rounded bound could
                         fall below the true score and break BMW pruning)
+    max_tf_norm float64 idf-free part of max_score: max over the block of
+                        tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)). Lets a later
+                        pass recompute max_score = idf * max_tf_norm when the
+                        term's global df is only known after merging salted
+                        doc-range sub-shards (hot-term skew handling).
     docs       binary   varint gaps for postings 1..n-1 (first is doc_base)
     tfs        binary   varint term frequencies for postings 0..n-1
 """
@@ -111,23 +116,28 @@ def encode_blocks(
 
     ``max_score`` is the exact maximum BM25 contribution of the term within
     the block (computed from tf and the posting's true doclen), the block-max
-    metadata driving BMW pruning (SURVEY.md §2.8 O1).
+    metadata driving BMW pruning (SURVEY.md §2.8 O1). Because idf > 0 and
+    multiplication by a positive constant is monotone in IEEE float64,
+    ``max_score == idf * max_tf_norm`` exactly — so a merge pass that learns
+    the true global df later can rewrite max_score without decoding postings.
     """
-    from nmr_fair_dos_ray.search.bm25 import bm25_term_scores
+    from nmr_fair_dos_ray.search.bm25 import bm25_tf_norm
 
     blocks = []
     for s in range(0, doc_ids.size, block_size):
         e = min(s + block_size, doc_ids.size)
         d = doc_ids[s:e]
         t = tfs[s:e]
-        scores = bm25_term_scores(t, doclens[s:e], idf, k1, b, avgdl)
+        tf_norm = bm25_tf_norm(t, doclens[s:e], k1, b, avgdl)
+        max_tf_norm = float(tf_norm.max())
         first, gaps = delta_encode(d)
         blocks.append(
             {
                 "doc_base": int(d[0]),
                 "doc_last": int(d[-1]),
                 "n": int(e - s),
-                "max_score": float(scores.max()),
+                "max_score": idf * max_tf_norm,
+                "max_tf_norm": max_tf_norm,
                 "docs": varint_encode(gaps),
                 "tfs": varint_encode(t.astype(np.uint64)),
             }

@@ -66,6 +66,16 @@ class IndexConfig:
     block_size: int = BLOCK_SIZE
     k1: float = 1.2
     b: float = 0.75
+    # ---- hot-term skew handling (north_rule: salted repartitioning) ----
+    # Zipfian heads (`def`, `self`, `the`, …) otherwise serialize the shard
+    # merge: one term's postings all land in one map_groups task. With
+    # salting, terms whose df ≥ hot_df_threshold are rerouted to n_salts
+    # disjoint doc-range sub-groups, merged independently, and concatenated
+    # (ranges are disjoint + sorted) in a cheap final pass that fixes
+    # df/idf/max_score globally.
+    salt_hot_terms: bool = True
+    hot_df_threshold: int | None = None  # None → max(1024, n_docs // 8)
+    n_salts: int = 8
 
     def to_dict(self) -> dict:
         return {
@@ -79,8 +89,23 @@ class IndexConfig:
             "block_size": self.block_size,
             "k1": self.k1,
             "b": self.b,
+            "salt_hot_terms": self.salt_hot_terms,
+            "hot_df_threshold": self.hot_df_threshold,
+            "n_salts": self.n_salts,
         }
 
+
+BLOCK_TYPE = pa.struct(
+    [
+        ("doc_base", pa.int64()),
+        ("doc_last", pa.int64()),
+        ("n", pa.int32()),
+        ("max_score", pa.float64()),
+        ("max_tf_norm", pa.float64()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+    ]
+)
 
 POSTING_SCHEMA = pa.schema(
     [
@@ -213,6 +238,8 @@ class Phase1Invert:
             "path": item["path"],
             "row_group": int(item["row_group"]),
             "n_docs": int(n),
+            "doc_min": int(doc_ids.min()) if n else 0,
+            "doc_max": int(doc_ids.max()) if n else -1,
             "sum_doclen": int(doclens.sum()),
             "n_postings": int(postings.num_rows),
             "run_path": run_path,
@@ -229,13 +256,23 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-def make_shard_builder(cfg: IndexConfig, shards_dir: str, n_docs: int, avgdl: float):
-    """Per-shard merge+compress fn for ``groupby('shard_id').map_groups``.
+def make_shard_builder(
+    cfg: IndexConfig,
+    shards_dir: str,
+    n_docs: int,
+    avgdl: float,
+    hotparts_dir: str | None = None,
+):
+    """Per-group merge+compress fn for ``groupby('group_key').map_groups``.
 
     The groupby shuffle *is* the SPIMI merge (SURVEY.md §2.7): inside a group
-    all postings of the shard's terms are co-located; we sort (term, doc_id)
-    once, then slice per term. df is group-local and exact because the shard
-    owns every posting of its terms; N and avgdl are broadcast scalars.
+    all postings of the group's terms are co-located; we sort (term, doc_id)
+    once, then slice per term. For cold groups (group_key < num_shards) df is
+    group-local and exact because the shard owns every posting of its terms;
+    N and avgdl are broadcast scalars. Hot groups (group_key ≥ num_shards)
+    hold ONE term's disjoint doc-range slice — their df/max_score are
+    partial and finalized by :func:`merge_hot_parts` (idf-free max_tf_norm
+    makes that a metadata rewrite, not a posting decode).
     """
 
     def build_shard(group: pa.Table) -> pa.Table:
@@ -249,7 +286,7 @@ def make_shard_builder(cfg: IndexConfig, shards_dir: str, n_docs: int, avgdl: fl
                  "path": pa.array([], pa.string()),
                  "wall_sec": pa.array([], pa.float64())}
             )
-        shard_id = int(group["shard_id"][0].as_py())
+        shard_id = int(group["group_key"][0].as_py())
         idx = pc.sort_indices(
             group,
             sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
@@ -285,26 +322,19 @@ def make_shard_builder(cfg: IndexConfig, shards_dir: str, n_docs: int, avgdl: fl
             out_cf.append(int(f.sum()))
             out_blocks.append(blocks)
 
-        block_type = pa.struct(
-            [
-                ("doc_base", pa.int64()),
-                ("doc_last", pa.int64()),
-                ("n", pa.int32()),
-                ("max_score", pa.float64()),
-                ("docs", pa.binary()),
-                ("tfs", pa.binary()),
-            ]
-        )
         shard_table = pa.table(
             {
                 "term": pa.array(out_terms, pa.string()),
                 "term_hash": pa.array(out_hash, pa.int64()),
                 "df": pa.array(out_df, pa.int64()),
                 "cf": pa.array(out_cf, pa.int64()),
-                "blocks": pa.array(out_blocks, pa.list_(block_type)),
+                "blocks": pa.array(out_blocks, pa.list_(BLOCK_TYPE)),
             }
         )
-        path = os.path.join(shards_dir, f"shard_{shard_id:05d}.parquet")
+        if hotparts_dir is not None and shard_id >= cfg.num_shards:
+            path = os.path.join(hotparts_dir, f"part_{shard_id:06d}.parquet")
+        else:
+            path = os.path.join(shards_dir, f"shard_{shard_id:05d}.parquet")
         _atomic_write_parquet(shard_table, path)
         return pa.Table.from_pylist(
             [
@@ -389,33 +419,103 @@ def build_index(
     n_docs = sum(v["n_docs"] for v in parts.values())
     sum_doclen = sum(v["sum_doclen"] for v in parts.values())
     avgdl = (sum_doclen / n_docs) if n_docs else 0.0
+    doc_lo = min((v.get("doc_min", 0) for v in parts.values() if v["n_docs"]), default=0)
+    doc_hi = max((v.get("doc_max", -1) for v in parts.values() if v["n_docs"]), default=-1)
     man.data["stats"] = {
         "n_docs": n_docs,
         "sum_doclen": sum_doclen,
         "avgdl": avgdl,
         "n_postings": sum(v["n_postings"] for v in parts.values()),
+        "doc_min": doc_lo,
+        "doc_max": doc_hi,
         "k1": cfg.k1,
         "b": cfg.b,
     }
     man.mark_stage("invert", status="done", wall_sec=time.time() - t0)
+    run_paths = sorted(v["run_path"] for v in parts.values())
+
+    # -------- phase 1.5: hot-term detection (salted-repartition prep) -----
+    # Cheap: per-block partial df counts (one row per distinct term per run)
+    # → tiny groupby-sum → filter ≥ threshold. The shuffle carries
+    # (term_hash, partial_count), never postings. Hot hashes are persisted in
+    # the manifest so a resumed build reroutes identically.
+    hot_hashes = np.empty(0, dtype=np.int64)
+    if cfg.salt_hot_terms and n_docs > 0:
+        if resume and man.stage("hot").get("status") == "done":
+            hot_hashes = np.array(man.stage("hot").get("hot_hashes", []), dtype=np.int64)
+        else:
+            thr = cfg.hot_df_threshold or max(1024, n_docs // 8)
+            t_hot = time.time()
+
+            def _partial_df(b: pa.Table) -> pa.Table:
+                agg = b.select(["term_hash"]).group_by("term_hash").aggregate(
+                    [("term_hash", "count")]
+                )
+                return pa.table(
+                    {"term_hash": agg["term_hash"],
+                     "cnt": agg["term_hash_count"].cast(pa.int64())}
+                )
+
+            from ray.data.aggregate import Sum as _Sum
+
+            hot_tbl = (
+                rd.read_parquet(run_paths, columns=["term_hash"])
+                .map_batches(_partial_df, batch_format="pyarrow")
+                .groupby("term_hash")
+                .aggregate(_Sum("cnt", alias_name="df"))
+                .map_batches(
+                    lambda b: b.filter(pc.greater_equal(b["df"], pa.scalar(thr))),
+                    batch_format="pyarrow",
+                )
+                .take_all()
+            )
+            hot_hashes = np.array(sorted(r["term_hash"] for r in hot_tbl), dtype=np.int64)
+            man.mark_stage(
+                "hot", status="done", threshold=int(thr),
+                n_hot=int(hot_hashes.size),
+                hot_hashes=[int(h) for h in hot_hashes],
+                wall_sec=time.time() - t_hot,
+            )
+    hot_sorted = np.sort(hot_hashes)
+    n_salts = max(1, int(cfg.n_salts))
+    span = max(1, doc_hi - doc_lo + 1)
+    salt_step = max(1, -(-span // n_salts))  # ceil div: contiguous doc ranges
+
+    def _assign_group(b: pa.Table) -> pa.Table:
+        """group_key: cold → shard_id; hot term h (rank i) with doc range
+        bucket s → num_shards + i*n_salts + s. Doc-range (not hash) salting
+        keeps sub-lists disjoint and sorted so the final merge is a concat."""
+        gk = b["shard_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if hot_sorted.size:
+            th = b["term_hash"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(hot_sorted, th)
+            safe = np.minimum(pos, hot_sorted.size - 1)
+            is_hot = hot_sorted[safe] == th
+            if is_hot.any():
+                d = b["doc_id"].to_numpy(zero_copy_only=False)[is_hot]
+                salt = np.clip((d - doc_lo) // salt_step, 0, n_salts - 1)
+                gk[is_hot] = cfg.num_shards + pos[is_hot] * n_salts + salt
+        return b.append_column("group_key", pa.array(gk, pa.int64()))
 
     # ---------------- phase 2: shuffle-merge into shards ------------------
     t1 = time.time()
-    done_shards = man.done_partitions("shards") if resume else set()
-    if len(done_shards) < cfg.num_shards and n_docs > 0:
-        run_paths = sorted(v["run_path"] for v in parts.values())
-        postings = rd.read_parquet(run_paths)
+    hotparts_dir = os.path.join(index_dir, "hotparts")
+    if not man.stage_done("shards") and n_docs > 0:
+        done_shards = man.done_partitions("shards") if resume else set()
+        postings = rd.read_parquet(run_paths).map_batches(
+            _assign_group, batch_format="pyarrow"
+        )
         if done_shards:
-            done_arr = np.array(sorted(done_shards), dtype=np.int32)
+            done_arr = pa.array(np.array(sorted(done_shards), dtype=np.int64))
             postings = postings.map_batches(
                 lambda b: b.filter(
-                    pc.invert(pc.is_in(b["shard_id"], value_set=pa.array(done_arr)))
+                    pc.invert(pc.is_in(b["group_key"], value_set=done_arr))
                 ),
                 batch_format="pyarrow",
             )
-        builder = make_shard_builder(cfg, shards_dir, n_docs, avgdl)
+        builder = make_shard_builder(cfg, shards_dir, n_docs, avgdl, hotparts_dir)
         res = (
-            postings.groupby("shard_id")
+            postings.groupby("group_key")
             .map_groups(builder, batch_format="pyarrow")
             .take_all()
         )
@@ -423,8 +523,78 @@ def build_index(
             man.mark_partition("shards", r["shard_id"], **{
                 k: r[k] for k in ("n_terms", "n_postings", "bytes", "path", "wall_sec")
             })
-        man.save()
-    man.mark_stage("shards", status="done", wall_sec=time.time() - t1)
+        man.mark_stage("shards", status="done", wall_sec=time.time() - t1)
+    elif not man.stage_done("shards"):
+        man.mark_stage("shards", status="done", wall_sec=0.0)  # empty corpus
+
+    # -------- phase 3: finalize hot terms (concat disjoint doc ranges) ----
+    if hot_sorted.size and not man.stage_done("hotmerge"):
+        t2 = time.time()
+        out_path = merge_hot_parts(hotparts_dir, shards_dir, n_docs)
+        man.mark_stage(
+            "hotmerge", status="done", n_hot=int(hot_sorted.size),
+            path=out_path, wall_sec=time.time() - t2,
+        )
     man.data["stats"]["build_wall_sec"] = time.time() - t0
     man.save()
     return man.data
+
+
+def merge_hot_parts(hotparts_dir: str, shards_dir: str, n_docs: int) -> str | None:
+    """Concatenate each hot term's salted doc-range parts into one final
+    posting list with globally-correct df/idf/max_score.
+
+    Pure metadata work: parts are already compressed block runs over disjoint
+    increasing doc ranges, so the merge concatenates block lists (ordered by
+    doc_base) and rewrites max_score = idf(global df) * stored max_tf_norm —
+    no posting is decoded. Cost is O(hot terms × blocks-per-term metadata);
+    hot terms are the Zipf head, a tiny fixed set, so this runs driver-side.
+    """
+    if not os.path.isdir(hotparts_dir):
+        return None
+    part_files = sorted(
+        os.path.join(hotparts_dir, p)
+        for p in os.listdir(hotparts_dir)
+        if p.endswith(".parquet")
+    )
+    if not part_files:
+        return None
+    by_term: dict[int, list[dict]] = {}
+    for pf in part_files:
+        for row in pq.read_table(pf).to_pylist():
+            by_term.setdefault(row["term_hash"], []).append(row)
+    out_rows = []
+    for _th, rows in sorted(by_term.items()):
+        rows.sort(key=lambda r: r["blocks"][0]["doc_base"])
+        blocks: list[dict] = []
+        for r in rows:
+            if blocks and r["blocks"][0]["doc_base"] <= blocks[-1]["doc_last"]:
+                raise AssertionError(
+                    f"hot-term doc ranges overlap for term {rows[0]['term']!r}"
+                )
+            blocks.extend(r["blocks"])
+        df = sum(r["df"] for r in rows)
+        idf = bm25_idf(df, n_docs)
+        for blk in blocks:
+            blk["max_score"] = idf * blk["max_tf_norm"]
+        out_rows.append(
+            {
+                "term": rows[0]["term"],
+                "term_hash": rows[0]["term_hash"],
+                "df": df,
+                "cf": sum(r["cf"] for r in rows),
+                "blocks": blocks,
+            }
+        )
+    t = pa.table(
+        {
+            "term": pa.array([r["term"] for r in out_rows], pa.string()),
+            "term_hash": pa.array([r["term_hash"] for r in out_rows], pa.int64()),
+            "df": pa.array([r["df"] for r in out_rows], pa.int64()),
+            "cf": pa.array([r["cf"] for r in out_rows], pa.int64()),
+            "blocks": pa.array([r["blocks"] for r in out_rows], pa.list_(BLOCK_TYPE)),
+        }
+    )
+    path = os.path.join(shards_dir, "shard_hot.parquet")
+    _atomic_write_parquet(t, path)
+    return path

@@ -49,6 +49,21 @@ def bm25_term_scores(
     return idf * (tf * (k1 + 1.0)) / denom
 
 
+def bm25_tf_norm(
+    tfs: np.ndarray, doclens: np.ndarray, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    """The idf-free factor of BM25: tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).
+
+    ``bm25_term_scores == idf * bm25_tf_norm`` exactly (one float64 multiply),
+    which is what lets block-max metadata be finalized after a salted hot-term
+    merge once the global df is known.
+    """
+    tf = np.asarray(tfs, dtype=np.float64)
+    dl = np.asarray(doclens, dtype=np.float64)
+    denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+    return (tf * (k1 + 1.0)) / denom
+
+
 def bm25_one(tf: int, doclen: int, idf: float, k1: float, b: float, avgdl: float) -> float:
     """Scalar form — identical arithmetic to :func:`bm25_term_scores`."""
     denom = float(tf) + k1 * (1.0 - b + b * float(doclen) / avgdl)
