@@ -34,11 +34,16 @@ BLOCK_SIZE = 128
 
 
 # ---------------------------------------------------------------- varint ----
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (vectorized)."""
+def varint_encode_all(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode an array of non-negative ints (vectorized).
+
+    -> (byte stream uint8 array, per-value byte length int64 array). The
+    length array lets a caller slice the stream at arbitrary value boundaries
+    (per-block posting runs) without re-encoding per block.
+    """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     nb = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -54,6 +59,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = (v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = np.where(nb[m] > j + 1, 0x80, 0).astype(np.uint64)
         out[starts[m] + j] = (byte | cont).astype(np.uint8)
+    return out, nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized)."""
+    out, _ = varint_encode_all(values)
     return out.tobytes()
 
 
@@ -151,3 +162,108 @@ def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:
     doc_ids = delta_decode(block["doc_base"], gaps)
     tfs = varint_decode(block["tfs"], block["n"]).astype(np.int64)
     return doc_ids, tfs
+
+
+def encode_group_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    term_counts: np.ndarray,
+    idfs: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+):
+    """Encode ALL terms of a merge group in one vectorized pass.
+
+    Inputs are the group's postings sorted by (term, doc_id): ``term_counts``
+    is the per-term posting count (term order), ``idfs`` the per-term idf.
+    Returns a ``pyarrow.ListArray`` of block structs, one list per term —
+    identical content to calling :func:`encode_blocks` per term, but with no
+    per-term Python: block boundaries via cumsum/flatnonzero, per-block maxes
+    via ``np.maximum.reduceat``, ONE varint pass over every gap/tf in the
+    group, and the per-block binary columns created zero-copy from byte
+    offsets into that single stream (``BinaryArray.from_buffers``).
+    """
+    import pyarrow as pa
+
+    n = doc_ids.size
+    if n == 0:
+        struct_type = pa.struct(
+            [("doc_base", pa.int64()), ("doc_last", pa.int64()), ("n", pa.int32()),
+             ("max_score", pa.float64()), ("max_tf_norm", pa.float64()),
+             ("docs", pa.binary()), ("tfs", pa.binary())]
+        )
+        return pa.ListArray.from_arrays(
+            pa.array([0], pa.int32()), pa.array([], struct_type)
+        ).slice(0, 0)
+    term_starts = np.concatenate([[0], np.cumsum(term_counts)[:-1]])
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, term_counts)
+    is_block_start = (pos_in_term % block_size) == 0
+    bstarts = np.flatnonzero(is_block_start)
+    bends = np.concatenate([bstarts[1:], [n]])
+    bn = (bends - bstarts).astype(np.int32)
+
+    # per-block scalars
+    doc_base = doc_ids[bstarts]
+    doc_last = doc_ids[bends - 1]
+    tf_f = tfs.astype(np.float64)
+    dl_f = doclens.astype(np.float64)
+    tf_norm = (tf_f * (k1 + 1.0)) / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+    max_tf_norm = np.maximum.reduceat(tf_norm, bstarts)
+    blocks_per_term = -(-term_counts // block_size)  # ceil
+    idf_of_block = np.repeat(idfs, blocks_per_term)
+    max_score = idf_of_block * max_tf_norm
+
+    # gaps: value for every non-block-start posting (prev posting is in the
+    # same block because block starts reset the run)
+    prev = np.empty(n, np.int64)
+    prev[0] = 0
+    prev[1:] = doc_ids[:-1]
+    nonstart = ~is_block_start
+    gaps_signed = (doc_ids - prev)[nonstart]
+    if gaps_signed.size and gaps_signed.min() <= 0:
+        raise ValueError("doc_ids must be strictly increasing within each term")
+    gap_vals = gaps_signed.astype(np.uint64)
+    gap_stream, gap_nb = varint_encode_all(gap_vals)
+    gap_byte_off = np.concatenate([[0], np.cumsum(gap_nb)])
+    # per-block byte ranges in the gap stream: block i covers gap values
+    # [bstarts[i]+1, bends[i]) → value indices via prefix count of nonstart
+    nonstart_prefix = np.concatenate([[0], np.cumsum(nonstart)])
+    doc_offsets = np.empty(bstarts.size + 1, np.int64)
+    doc_offsets[:-1] = gap_byte_off[nonstart_prefix[bstarts]]
+    doc_offsets[-1] = gap_byte_off[-1]
+    # (contiguity: every gap value belongs to exactly one block, in order)
+
+    tf_stream, tf_nb = varint_encode_all(tfs.astype(np.uint64))
+    tf_byte_off = np.concatenate([[0], np.cumsum(tf_nb)])
+    tf_offsets = np.empty(bstarts.size + 1, np.int64)
+    tf_offsets[:-1] = tf_byte_off[bstarts]
+    tf_offsets[-1] = tf_byte_off[-1]
+
+    n_blocks = bstarts.size
+    docs_bin = pa.Array.from_buffers(
+        pa.binary(), n_blocks,
+        [None, pa.py_buffer(doc_offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(gap_stream.tobytes())],
+    )
+    tfs_bin = pa.Array.from_buffers(
+        pa.binary(), n_blocks,
+        [None, pa.py_buffer(tf_offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(tf_stream.tobytes())],
+    )
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(doc_base, pa.int64()),
+            pa.array(doc_last, pa.int64()),
+            pa.array(bn, pa.int32()),
+            pa.array(max_score, pa.float64()),
+            pa.array(max_tf_norm, pa.float64()),
+            docs_bin,
+            tfs_bin,
+        ],
+        names=["doc_base", "doc_last", "n", "max_score", "max_tf_norm", "docs", "tfs"],
+    )
+    list_offsets = np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)

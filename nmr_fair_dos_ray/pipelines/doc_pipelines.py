@@ -174,7 +174,9 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact-dup groups by sha256(text): survivor id + group size (>1)."""
+    """Exact dedup by sha256(text): survivor id + group size for EVERY group
+    (not only dups) so the oracle check exercises the hash grouping even on
+    corpora without duplicates."""
     from nmr_fair_dos_ray.pipelines.dedup import exact_dedup_groups
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -186,8 +188,7 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     groups = exact_dedup_groups(
         docs.map_batches(add_hash, batch_format="pyarrow"), hash_col="sha"
     )
-    df = groups.to_pandas()
-    df = df[df["n_docs"] > 1][["keep_id", "n_docs"]]
+    df = groups.to_pandas()[["keep_id", "n_docs"]]
     return df.sort_values("keep_id").reset_index(drop=True)
 
 

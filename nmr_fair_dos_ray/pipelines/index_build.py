@@ -13,25 +13,36 @@ Phase 1 (stateless tasks, one per Parquet row group — the SPIMI "invert" pass)
     rename, write-once ⇒ per-partition checkpoint), return a manifest row.
     N and avgdl fall out of the manifest rows — no extra pass over the data.
 
-Phase 2 (the one wide shuffle — the SPIMI merge):
-    read posting runs → drop shards already built (resume) →
-    ``groupby("shard_id")`` → per-shard vectorized merge: sort (term, doc_id),
-    per-term df/idf, 128-posting blocks with delta+varint compression and
-    per-block exact max BM25 contribution (block-max metadata for BMW) →
-    write one shard file per group (atomic) → manifest row per shard.
+Phase 2 (the SPIMI merge — a storage-backed map-side shuffle):
+    Phase 1 writes each posting run SORTED BY shard_id with row groups
+    aligned to shard boundaries, so the "exchange" is free: the merge task
+    for shard ``s`` opens every run and reads ONLY its row groups (parquet
+    min/max statistics prune the rest). One task per shard: sort
+    (term, doc_id), per-term df/idf, 128-posting blocks with delta+varint
+    compression and per-block exact max BM25 contribution (block-max
+    metadata for BMW) → one shard file (atomic) → manifest row per shard.
+    This replaces ``Dataset.groupby(shard).map_groups`` deliberately: a
+    sort-based all-to-all moved 100% of the postings through the object
+    store and measured ~10× slower than the row-group-pruned direct reads;
+    write-once shuffle files are also what makes the merge stage itself
+    resumable per shard. Hot terms (detected from per-run df sidecars) are
+    excluded from the cold shards and merged by ``n_salts`` run-bucket
+    tasks over contiguous doc ranges, then concatenated (phase 3).
 
 Scale notes (100 TB / 10^12 rows):
-  - the shuffle moves (term, doc_id, tf, doclen) rows — ~20 bytes/posting —
-    never `content`;
+  - the merge stage moves (term, doc_id, tf, doclen) rows — ~20 bytes/posting
+    — never `content`;
   - shard count is the partition knob: hash(term) % num_shards balances load;
-    Zipfian hot terms (`def`, `self`, …) skew a shard by at most their df,
-    which is bounded by N — with S shards and ~L tokens/doc the skew factor of
-    one hot term is ≈ S/L, mitigated by raising S; additionally hot terms can
-    be salted into doc-range sub-shards (``hot_term_dfs`` option) and merged
-    by concatenation since doc ranges are disjoint and sorted;
+    each shard-merge task reads runs × (1/num_shards) of the posting volume;
+    at extreme run counts, consolidate runs in a tree (merge B runs per
+    intermediate level) to bound per-task open-file counts, and pass run
+    lists by manifest path instead of task closure;
+  - Zipfian hot terms (`def`, `self`, …) would otherwise serialize one
+    shard's merge; terms with df ≥ hot_df_threshold are salted into
+    ``n_salts`` doc-range buckets (runs are doc-contiguous), merged
+    independently, and concatenated — sub-lists stay disjoint and sorted;
   - phase-1 output is partitioned by input row group ⇒ a failed run resumes
-    by skipping finished row groups, and phase 2 by skipping finished shards
-    *before* the exchange.
+    by skipping finished row groups; phase 2 resumes per shard/bucket.
 """
 
 from __future__ import annotations
@@ -47,7 +58,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from nmr_fair_dos_ray.codec import BLOCK_SIZE, encode_blocks
+from nmr_fair_dos_ray.codec import BLOCK_SIZE, encode_group_blocks
 from nmr_fair_dos_ray.search.bm25 import BM25Params, bm25_idf
 from nmr_fair_dos_ray.sources.parquet_source import corpus_paths, read_work_item, work_items
 from nmr_fair_dos_ray.state.manifest import Manifest, atomic_write_bytes, fingerprint_files
@@ -220,6 +231,12 @@ class Phase1Invert:
             },
             schema=POSTING_SCHEMA,
         )
+        # sort by shard so the run file can be written with shard-aligned row
+        # groups — the storage-backed shuffle phase 2 relies on (statistics
+        # prune every row group but the target shard's)
+        postings = postings.take(
+            pc.sort_indices(postings, sort_keys=[("shard_id", "ascending")])
+        )
 
         docs_cols: dict = {"doc_id": pa.array(doc_ids), "sha256": sha,
                            "doclen": pa.array(doclens)}
@@ -230,8 +247,18 @@ class Phase1Invert:
         wi = int(item["work_item_id"])
         run_path = os.path.join(self.runs_dir, f"run_{wi:06d}.parquet")
         docs_path = os.path.join(self.docs_dir, f"docs_{wi:06d}.parquet")
-        _atomic_write_parquet(postings, run_path)
+        df_path = os.path.join(self.runs_dir, f"df_{wi:06d}.parquet")
+        _atomic_write_run(postings, run_path)
         _atomic_write_parquet(docs, docs_path)
+        # partial document frequencies (term_hash → rows-in-run): a tiny
+        # sidecar per run so hot-term detection is a merge of pre-aggregated
+        # sketches instead of a full shuffle of the posting rows
+        u_th, u_cnt = np.unique(th, return_counts=True)
+        _atomic_write_parquet(
+            pa.table({"term_hash": pa.array(u_th.view(np.int64)),
+                      "cnt": pa.array(u_cnt.astype(np.int64))}),
+            df_path,
+        )
 
         return {
             "work_item_id": wi,
@@ -244,6 +271,7 @@ class Phase1Invert:
             "n_postings": int(postings.num_rows),
             "run_path": run_path,
             "docs_path": docs_path,
+            "df_path": df_path,
             "bytes": int(os.path.getsize(run_path) + os.path.getsize(docs_path)),
             "wall_sec": time.time() - t0,
         }
@@ -256,100 +284,75 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-def make_shard_builder(
-    cfg: IndexConfig,
-    shards_dir: str,
-    n_docs: int,
-    avgdl: float,
-    hotparts_dir: str | None = None,
-):
-    """Per-group merge+compress fn for ``groupby('group_key').map_groups``.
+def _atomic_write_run(postings: pa.Table, path: str) -> None:
+    """Write a posting run (already sorted by shard_id) with one row group
+    per shard, so downstream per-shard readers prune on statistics."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{os.getpid()}"
+    sh = postings["shard_id"].to_numpy(zero_copy_only=False)
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(sh)) + 1, [len(sh)]]
+    ) if len(sh) else np.array([0, 0])
+    with pq.ParquetWriter(tmp, postings.schema) as w:
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e > s:
+                w.write_table(postings.slice(int(s), int(e - s)))
+    os.replace(tmp, path)
 
-    The groupby shuffle *is* the SPIMI merge (SURVEY.md §2.7): inside a group
-    all postings of the group's terms are co-located; we sort (term, doc_id)
-    once, then slice per term. For cold groups (group_key < num_shards) df is
-    group-local and exact because the shard owns every posting of its terms;
-    N and avgdl are broadcast scalars. Hot groups (group_key ≥ num_shards)
-    hold ONE term's disjoint doc-range slice — their df/max_score are
-    partial and finalized by :func:`merge_hot_parts` (idf-free max_tf_norm
-    makes that a metadata rewrite, not a posting decode).
+
+_EMPTY_SHARD = pa.schema(
+    [("term", pa.string()), ("term_hash", pa.int64()), ("df", pa.int64()),
+     ("cf", pa.int64()), ("blocks", pa.list_(BLOCK_TYPE))]
+)
+
+
+def build_group_table(group: pa.Table, cfg: IndexConfig, n_docs: int, avgdl: float) -> pa.Table:
+    """Merge+compress one group of postings (columns term/term_hash/doc_id/
+    tf/doclen) into a shard table: sort (term, doc_id) once, slice per term
+    via dictionary change points, encode every block in one vectorized pass.
+
+    df computed here is exact iff the group holds EVERY posting of its terms
+    (cold shards); for hot doc-range parts it is partial and finalized by
+    :func:`merge_hot_parts` (stored max_tf_norm makes that a metadata
+    rewrite, not a posting decode).
     """
+    if group.num_rows == 0:
+        return _EMPTY_SHARD.empty_table()
+    idx = pc.sort_indices(
+        group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+    )
+    g = group.take(idx)
+    terms = g["term"].combine_chunks() if isinstance(g["term"], pa.ChunkedArray) else g["term"]
+    doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    tfs = g["tf"].to_numpy(zero_copy_only=False)
+    doclens = g["doclen"].to_numpy(zero_copy_only=False)
+    hashes = g["term_hash"].to_numpy(zero_copy_only=False)
 
-    def build_shard(group: pa.Table) -> pa.Table:
-        t0 = time.time()
-        if group.num_rows == 0:
-            return pa.table(
-                {"shard_id": pa.array([], pa.int64()),
-                 "n_terms": pa.array([], pa.int64()),
-                 "n_postings": pa.array([], pa.int64()),
-                 "bytes": pa.array([], pa.int64()),
-                 "path": pa.array([], pa.string()),
-                 "wall_sec": pa.array([], pa.float64())}
-            )
-        shard_id = int(group["group_key"][0].as_py())
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
-        )
-        g = group.take(idx)
-        terms = g["term"].combine_chunks() if isinstance(g["term"], pa.ChunkedArray) else g["term"]
-        doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        tfs = g["tf"].to_numpy(zero_copy_only=False)
-        doclens = g["doclen"].to_numpy(zero_copy_only=False)
-        hashes = g["term_hash"].to_numpy(zero_copy_only=False)
+    # term boundaries via dictionary-encoded change points
+    enc = pc.dictionary_encode(terms)
+    codes = (enc.combine_chunks().indices.to_numpy(zero_copy_only=False)
+             if isinstance(enc, pa.ChunkedArray) else enc.indices.to_numpy(zero_copy_only=False))
+    change = np.flatnonzero(np.diff(codes)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(codes)]])
+    counts = ends - starts
 
-        # term boundaries via dictionary-encoded change points
-        enc = pc.dictionary_encode(terms)
-        codes = (enc.combine_chunks().indices.to_numpy(zero_copy_only=False)
-                 if isinstance(enc, pa.ChunkedArray) else enc.indices.to_numpy(zero_copy_only=False))
-        change = np.flatnonzero(np.diff(codes)) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(codes)]])
-
-        out_terms, out_hash, out_df, out_cf, out_blocks = [], [], [], [], []
-        for s, e in zip(starts, ends):
-            d = doc_ids[s:e]
-            f = tfs[s:e]
-            dl = doclens[s:e]
-            df = int(e - s)
-            idf = bm25_idf(df, n_docs)
-            blocks = encode_blocks(
-                d, f, dl, idf, cfg.k1, cfg.b, avgdl, block_size=cfg.block_size
-            )
-            out_terms.append(terms[int(s)].as_py())
-            out_hash.append(int(hashes[s]))
-            out_df.append(df)
-            out_cf.append(int(f.sum()))
-            out_blocks.append(blocks)
-
-        shard_table = pa.table(
-            {
-                "term": pa.array(out_terms, pa.string()),
-                "term_hash": pa.array(out_hash, pa.int64()),
-                "df": pa.array(out_df, pa.int64()),
-                "cf": pa.array(out_cf, pa.int64()),
-                "blocks": pa.array(out_blocks, pa.list_(BLOCK_TYPE)),
-            }
-        )
-        if hotparts_dir is not None and shard_id >= cfg.num_shards:
-            path = os.path.join(hotparts_dir, f"part_{shard_id:06d}.parquet")
-        else:
-            path = os.path.join(shards_dir, f"shard_{shard_id:05d}.parquet")
-        _atomic_write_parquet(shard_table, path)
-        return pa.Table.from_pylist(
-            [
-                {
-                    "shard_id": shard_id,
-                    "n_terms": shard_table.num_rows,
-                    "n_postings": int(group.num_rows),
-                    "bytes": int(os.path.getsize(path)),
-                    "path": path,
-                    "wall_sec": time.time() - t0,
-                }
-            ]
-        )
-
-    return build_shard
+    # idf per term via the scalar bm25_idf (math.log) so stored block maxes
+    # are bit-consistent with query-time idf; O(terms), not O(postings).
+    idfs = np.array([bm25_idf(int(c), n_docs) for c in counts], np.float64)
+    blocks_list = encode_group_blocks(
+        doc_ids, tfs, doclens, counts, idfs,
+        cfg.k1, cfg.b, avgdl, block_size=cfg.block_size,
+    )
+    return pa.table(
+        {
+            "term": terms.take(pa.array(starts)),
+            "term_hash": pa.array(hashes[starts], pa.int64()),
+            "df": pa.array(counts, pa.int64()),
+            "cf": pa.array(np.add.reduceat(tfs, starts), pa.int64()),
+            "blocks": blocks_list,
+        }
+    )
 
 
 def build_index(
@@ -410,8 +413,8 @@ def build_index(
         for r in results:
             man.mark_partition("invert", r["work_item_id"], **{
                 k: r[k] for k in
-                ("n_docs", "sum_doclen", "n_postings", "run_path", "docs_path",
-                 "bytes", "wall_sec")
+                ("n_docs", "doc_min", "doc_max", "sum_doclen", "n_postings",
+                 "run_path", "docs_path", "df_path", "bytes", "wall_sec")
             })
         man.save()
 
@@ -446,30 +449,26 @@ def build_index(
         else:
             thr = cfg.hot_df_threshold or max(1024, n_docs // 8)
             t_hot = time.time()
+            # merge the per-run partial-df sidecars (already aggregated in
+            # phase 1): rows here = Σ distinct-terms-per-run, read threaded
+            # by pyarrow and summed with one sort+reduceat — no Ray shuffle.
+            # At extreme corpus scale (Σ distinct terms beyond driver memory)
+            # this merge tree gains one Ray map_batches level, same math.
+            import pyarrow.dataset as pads
 
-            def _partial_df(b: pa.Table) -> pa.Table:
-                agg = b.select(["term_hash"]).group_by("term_hash").aggregate(
-                    [("term_hash", "count")]
-                )
-                return pa.table(
-                    {"term_hash": agg["term_hash"],
-                     "cnt": agg["term_hash_count"].cast(pa.int64())}
-                )
-
-            from ray.data.aggregate import Sum as _Sum
-
-            hot_tbl = (
-                rd.read_parquet(run_paths, columns=["term_hash"])
-                .map_batches(_partial_df, batch_format="pyarrow")
-                .groupby("term_hash")
-                .aggregate(_Sum("cnt", alias_name="df"))
-                .map_batches(
-                    lambda b: b.filter(pc.greater_equal(b["df"], pa.scalar(thr))),
-                    batch_format="pyarrow",
-                )
-                .take_all()
+            df_paths = sorted(
+                v["df_path"] for v in parts.values() if "df_path" in v
             )
-            hot_hashes = np.array(sorted(r["term_hash"] for r in hot_tbl), dtype=np.int64)
+            t = pads.dataset(df_paths).to_table(columns=["term_hash", "cnt"])
+            th_all = t["term_hash"].to_numpy(zero_copy_only=False)
+            cnt_all = t["cnt"].to_numpy(zero_copy_only=False)
+            order = np.argsort(th_all, kind="stable")
+            th_s, cnt_s = th_all[order], cnt_all[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], th_s[1:] != th_s[:-1]])
+            )
+            sums = np.add.reduceat(cnt_s, starts) if th_s.size else np.empty(0, np.int64)
+            hot_hashes = np.sort(th_s[starts][sums >= thr]).astype(np.int64)
             man.mark_stage(
                 "hot", status="done", threshold=int(thr),
                 n_hot=int(hot_hashes.size),
@@ -478,57 +477,84 @@ def build_index(
             )
     hot_sorted = np.sort(hot_hashes)
     n_salts = max(1, int(cfg.n_salts))
-    span = max(1, doc_hi - doc_lo + 1)
-    salt_step = max(1, -(-span // n_salts))  # ceil div: contiguous doc ranges
+    # hot run-buckets: contiguous slices of the doc-ordered run list, so each
+    # bucket covers a disjoint doc-id range and the final merge is a concat
+    buckets = [[str(p) for p in c] for c in np.array_split(run_paths, n_salts)
+               if len(c)] if hot_sorted.size else []
 
-    def _assign_group(b: pa.Table) -> pa.Table:
-        """group_key: cold → shard_id; hot term h (rank i) with doc range
-        bucket s → num_shards + i*n_salts + s. Doc-range (not hash) salting
-        keeps sub-lists disjoint and sorted so the final merge is a concat."""
-        gk = b["shard_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if hot_sorted.size:
-            th = b["term_hash"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(hot_sorted, th)
-            safe = np.minimum(pos, hot_sorted.size - 1)
-            is_hot = hot_sorted[safe] == th
-            if is_hot.any():
-                d = b["doc_id"].to_numpy(zero_copy_only=False)[is_hot]
-                salt = np.clip((d - doc_lo) // salt_step, 0, n_salts - 1)
-                gk[is_hot] = cfg.num_shards + pos[is_hot] * n_salts + salt
-        return b.append_column("group_key", pa.array(gk, pa.int64()))
-
-    # ---------------- phase 2: shuffle-merge into shards ------------------
+    # ------------- phase 2: per-shard merge (storage-backed shuffle) ------
+    # No Dataset.groupby: phase-1 run files are sorted by shard_id with
+    # shard-aligned row groups, so each merge task reads only its shard's row
+    # groups (parquet statistics pruning) — the exchange happens through
+    # write-once files, which is also what makes this stage resumable and
+    # measured ~10× faster than the sort-based all-to-all it replaces.
     t1 = time.time()
     hotparts_dir = os.path.join(index_dir, "hotparts")
-    if not man.stage_done("shards") and n_docs > 0:
-        done_shards = man.done_partitions("shards") if resume else set()
-        postings = rd.read_parquet(run_paths).map_batches(
-            _assign_group, batch_format="pyarrow"
-        )
-        if done_shards:
-            done_arr = pa.array(np.array(sorted(done_shards), dtype=np.int64))
-            postings = postings.map_batches(
-                lambda b: b.filter(
-                    pc.invert(pc.is_in(b["group_key"], value_set=done_arr))
-                ),
-                batch_format="pyarrow",
-            )
-        builder = make_shard_builder(cfg, shards_dir, n_docs, avgdl, hotparts_dir)
-        res = (
-            postings.groupby("group_key")
-            .map_groups(builder, batch_format="pyarrow")
-            .take_all()
-        )
+    done_shards = man.done_partitions("shards") if resume else set()
+    todo_merge: list[dict] = []
+    for s in range(cfg.num_shards):
+        if s not in done_shards:
+            todo_merge.append({"pid": s, "kind": "cold"})
+    for bkt in range(len(buckets)):
+        if cfg.num_shards + bkt not in done_shards:
+            todo_merge.append({"pid": cfg.num_shards + bkt, "kind": "hot"})
+    if todo_merge and n_docs > 0:
+        import pyarrow.dataset as pads
+
+        hot_list = pa.array(hot_sorted, pa.int64())
+        num_shards = cfg.num_shards
+
+        def merge_task(batch: pa.Table) -> pa.Table:
+            # one descriptor per batch (batch_size=1): read → build → write
+            rows = []
+            for it in batch.to_pylist():
+                t0m = time.time()
+                pid = int(it["pid"])
+                if it["kind"] == "cold":
+                    g = pads.dataset(run_paths).to_table(
+                        columns=["term", "term_hash", "doc_id", "tf", "doclen"],
+                        filter=pc.field("shard_id") == pid,
+                    )
+                    if len(hot_list):
+                        g = g.filter(
+                            pc.invert(pc.is_in(g["term_hash"], value_set=hot_list))
+                        )
+                    path = os.path.join(shards_dir, f"shard_{pid:05d}.parquet")
+                else:
+                    g = pads.dataset(buckets[pid - num_shards]).to_table(
+                        columns=["term", "term_hash", "doc_id", "tf", "doclen"],
+                        filter=pc.field("term_hash").isin(hot_list),
+                    )
+                    path = os.path.join(hotparts_dir, f"part_{pid:06d}.parquet")
+                shard_table = build_group_table(g, cfg, n_docs, avgdl)
+                _atomic_write_parquet(shard_table, path)
+                rows.append(
+                    {
+                        "shard_id": pid,
+                        "n_terms": shard_table.num_rows,
+                        "n_postings": int(g.num_rows),
+                        "bytes": int(os.path.getsize(path)),
+                        "path": path,
+                        "wall_sec": time.time() - t0m,
+                    }
+                )
+            return pa.Table.from_pylist(rows)
+
+        kwargs2: dict = {"batch_size": 1, "batch_format": "pyarrow"}
+        res = rd.from_items(todo_merge).map_batches(merge_task, **kwargs2).take_all()
         for r in res:
             man.mark_partition("shards", r["shard_id"], **{
                 k: r[k] for k in ("n_terms", "n_postings", "bytes", "path", "wall_sec")
             })
         man.mark_stage("shards", status="done", wall_sec=time.time() - t1)
     elif not man.stage_done("shards"):
-        man.mark_stage("shards", status="done", wall_sec=0.0)  # empty corpus
+        man.mark_stage("shards", status="done", wall_sec=0.0)  # nothing to do
 
     # -------- phase 3: finalize hot terms (concat disjoint doc ranges) ----
-    if hot_sorted.size and not man.stage_done("hotmerge"):
+    hotmerge_complete = man.stage_done("hotmerge") and (
+        (p := man.stage("hotmerge").get("path")) is None or os.path.exists(p)
+    )
+    if hot_sorted.size and not hotmerge_complete:
         t2 = time.time()
         out_path = merge_hot_parts(hotparts_dir, shards_dir, n_docs)
         man.mark_stage(

@@ -15,6 +15,11 @@ state. On a multi-node cluster the same class shards by ``term_hash %
 num_shards`` with scatter-gather across shard actors; in this sandbox each
 actor holds all shards of the (small) fixture index.
 
+The reader keeps the index Arrow/numpy-resident: term lookup is one dict
+probe; block metadata (doc_base/doc_last/max_score) are flat numpy arrays
+with per-term offsets; compressed posting bytes stay in the Arrow buffers
+read (memory-mapped) from the shard files, decoded per block on demand.
+
 Determinism: scores are float64; per-doc accumulation order is the
 lexicographic order of the unique query terms in BOTH algorithms, so TAAT,
 BMW and the pure-Python oracle produce bit-identical scores
@@ -31,9 +36,51 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from nmr_fair_dos_ray.codec import decode_block
-from nmr_fair_dos_ray.search.bm25 import bm25_idf, bm25_one, bm25_term_scores
+from nmr_fair_dos_ray.codec import delta_decode, varint_decode
+from nmr_fair_dos_ray.search.bm25 import bm25_idf, bm25_term_scores
 from nmr_fair_dos_ray.tokenizer import Tokenizer
+
+
+class _TermsView:
+    """Dict-like lazy view over the reader's term table (compat surface:
+    ``term in r.terms``, ``set(r.terms)``, ``r.terms[t]["df"/"blocks"]``)."""
+
+    def __init__(self, reader: "IndexReader"):
+        self._r = reader
+
+    def __contains__(self, term: str) -> bool:
+        return term in self._r._tid
+
+    def __iter__(self):
+        return iter(self._r._tid)
+
+    def __len__(self) -> int:
+        return len(self._r._tid)
+
+    def get(self, term: str, default=None):
+        return self[term] if term in self else default
+
+    def __getitem__(self, term: str) -> dict:
+        r = self._r
+        tid = r._tid[term]
+        j0, j1 = int(r._boff[tid]), int(r._boff[tid + 1])
+        blocks = [
+            {
+                "doc_base": int(r._b_base[j]),
+                "doc_last": int(r._b_last[j]),
+                "n": int(r._b_n[j]),
+                "max_score": float(r._b_max[j]),
+                "max_tf_norm": float(r._b_maxtf[j]),
+                "docs": r._b_docs[j].as_py(),
+                "tfs": r._b_tfs[j].as_py(),
+            }
+            for j in range(j0, j1)
+        ]
+        return {"df": int(r._df[tid]), "blocks": blocks}
+
+    def items(self):
+        for term in self._r._tid:
+            yield term, self[term]
 
 
 class IndexReader:
@@ -50,104 +97,222 @@ class IndexReader:
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
 
-        # term -> {"df": int, "blocks": list[dict]}
-        self.terms: dict[str, dict] = {}
         shards_dir = os.path.join(index_dir, "shards")
+        tables = []
         if os.path.isdir(shards_dir):
             for p in sorted(os.listdir(shards_dir)):
-                if not p.endswith(".parquet"):
-                    continue
-                t = pq.read_table(os.path.join(shards_dir, p), memory_map=True)
-                terms = t["term"].to_pylist()
-                dfs = t["df"].to_numpy(zero_copy_only=False)
-                blocks_col = t["blocks"].to_pylist()
-                for term, df, blocks in zip(terms, dfs, blocks_col):
-                    self.terms[term] = {"df": int(df), "blocks": blocks}
+                if p.endswith(".parquet"):
+                    tables.append(
+                        pq.read_table(os.path.join(shards_dir, p), memory_map=True)
+                    )
+        t = (
+            pa.concat_tables(tables).combine_chunks()
+            if tables
+            else None
+        )
+        if t is None or t.num_rows == 0:
+            self._tid: dict[str, int] = {}
+            self._df = np.empty(0, np.int64)
+            self._boff = np.zeros(1, np.int64)
+            self._b_base = self._b_last = np.empty(0, np.int64)
+            self._b_n = np.empty(0, np.int32)
+            self._b_max = self._b_maxtf = np.empty(0, np.float64)
+            self._b_docs = pa.array([], pa.binary())
+            self._b_tfs = pa.array([], pa.binary())
+        else:
+            self._tid = {term: i for i, term in enumerate(t["term"].to_pylist())}
+            self._df = t["df"].to_numpy(zero_copy_only=False)
+            blocks = t["blocks"].combine_chunks()
+            self._boff = blocks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = blocks.flatten()
+            self._b_base = flat.field("doc_base").to_numpy(zero_copy_only=False)
+            self._b_last = flat.field("doc_last").to_numpy(zero_copy_only=False)
+            self._b_n = flat.field("n").to_numpy(zero_copy_only=False)
+            self._b_max = flat.field("max_score").to_numpy(zero_copy_only=False)
+            self._b_maxtf = flat.field("max_tf_norm").to_numpy(zero_copy_only=False)
+            self._b_docs = flat.field("docs")
+            self._b_tfs = flat.field("tfs")
+        # raw byte views for vectorized multi-block decode: consecutive
+        # blocks' byte streams are contiguous in the (combined) value buffer,
+        # so a term's whole posting list decodes in ONE varint pass
+        self._docs_offs, self._docs_data = _binary_views(self._b_docs)
+        self._tfs_offs, self._tfs_data = _binary_views(self._b_tfs)
+        self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self.terms = _TermsView(self)
 
-        # doclen lookup: sorted doc_id array + parallel doclen array
+        # doclen lookup: dense direct-index fast path when doc_ids are a
+        # contiguous range (both docID assignment modes produce this), else
+        # binary search on the sorted id array
         docs_dir = os.path.join(index_dir, "docs")
         docs = pq.read_table(docs_dir, columns=["doc_id", "doclen"], memory_map=True)
-        order = np.argsort(docs["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
-        self._doc_ids_sorted = docs["doc_id"].to_numpy(zero_copy_only=False)[order]
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        self._doc_ids_sorted = ids[order]
         self._doclens_sorted = docs["doclen"].to_numpy(zero_copy_only=False)[order]
+        n = self._doc_ids_sorted.size
+        self._dense = bool(
+            n and self._doc_ids_sorted[-1] - self._doc_ids_sorted[0] == n - 1
+        )
+        self._dense_base = int(self._doc_ids_sorted[0]) if n else 0
 
+    # ----------------------------------------------------------------- api
     def doclens(self, doc_ids: np.ndarray) -> np.ndarray:
+        if self._dense:
+            return self._doclens_sorted[doc_ids - self._dense_base]
         pos = np.searchsorted(self._doc_ids_sorted, doc_ids)
         return self._doclens_sorted[pos]
 
+    def _decode(self, j: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode global block ``j`` -> (doc_ids, tfs)."""
+        return self._decode_range(j, j + 1)
+
+    def _decode_range(self, j0: int, j1: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode blocks [j0, j1) of ONE term in a single vectorized pass.
+
+        The gap streams of consecutive blocks are contiguous bytes, so one
+        ``varint_decode`` recovers every gap; block-boundary deltas are
+        reconstructed from the stored doc_base/doc_last metadata
+        (``base[j] - last[j-1]``) and one cumsum yields all doc_ids.
+        """
+        ns = self._b_n[j0:j1].astype(np.int64)
+        total = int(ns.sum())
+        gaps = varint_decode(
+            self._docs_data[self._docs_offs[j0] : self._docs_offs[j1]].tobytes(),
+            total - (j1 - j0),
+        )
+        full = np.empty(total, np.int64)
+        bstarts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        mask = np.ones(total, bool)
+        mask[bstarts] = False
+        full[mask] = gaps.astype(np.int64)
+        bases = self._b_base[j0:j1]
+        lasts = self._b_last[j0:j1]
+        full[bstarts[0]] = bases[0]
+        if j1 - j0 > 1:
+            full[bstarts[1:]] = bases[1:] - lasts[:-1]
+        doc_ids = np.cumsum(full)
+        tfs = varint_decode(
+            self._tfs_data[self._tfs_offs[j0] : self._tfs_offs[j1]].tobytes(),
+            total,
+        ).astype(np.int64)
+        return doc_ids, tfs
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full decoded (doc_ids, tfs) of a term (doc_id-sorted)."""
-        e = self.terms.get(term)
-        if e is None:
+        """Full decoded (doc_ids, tfs) of a term (doc_id-sorted); small LRU
+        keeps the Zipf head decoded across queries of a serving actor."""
+        hit = self._postings_cache.get(term)
+        if hit is not None:
+            return hit
+        tid = self._tid.get(term)
+        if tid is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        ds, ts = [], []
-        for blk in e["blocks"]:
-            d, f = decode_block(blk)
-            ds.append(d); ts.append(f)
-        return np.concatenate(ds), np.concatenate(ts)
+        out = self._decode_range(int(self._boff[tid]), int(self._boff[tid + 1]))
+        if len(self._postings_cache) >= 64:
+            self._postings_cache.pop(next(iter(self._postings_cache)))
+        self._postings_cache[term] = out
+        return out
 
     def idf(self, term: str) -> float:
-        e = self.terms.get(term)
-        return bm25_idf(e["df"], self.n_docs) if e else 0.0
+        tid = self._tid.get(term)
+        return bm25_idf(int(self._df[tid]), self.n_docs) if tid is not None else 0.0
+
+
+def _binary_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(value offsets int64, data bytes uint8) views of a BinaryArray."""
+    if len(arr) == 0:
+        return np.zeros(1, np.int64), np.empty(0, np.uint8)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)
+    offs = offs[arr.offset : arr.offset + len(arr) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return offs, data
 
 
 class _Cursor:
-    """Block-wise posting cursor for WAND (decodes blocks lazily)."""
+    """Span-level posting cursor for block-max WAND: skips whole blocks via
+    the doc_last skip array and decodes SPANS of blocks (multi-block, one
+    vectorized pass) so the scorer's outer loop amortizes over hundreds of
+    postings instead of one."""
 
-    __slots__ = ("term", "idf", "blocks", "bi", "pi", "docs", "tfs", "ub", "exhausted")
+    __slots__ = ("r", "term", "idf", "j0", "nb", "lasts", "s_lo", "s_hi",
+                 "pi", "docs", "tfs", "ub", "exhausted")
 
-    def __init__(self, term: str, idf: float, blocks: list[dict]):
+    def __init__(self, reader: IndexReader, term: str, tid: int, idf: float):
+        self.r = reader
         self.term = term
         self.idf = idf
-        self.blocks = blocks
-        self.bi = 0
-        self.pi = 0
-        self.exhausted = not blocks
-        self.ub = max((b["max_score"] for b in blocks), default=0.0)  # global UB
-        self._load()
+        self.j0 = int(reader._boff[tid])
+        self.nb = int(reader._boff[tid + 1]) - self.j0
+        self.lasts = reader._b_last[self.j0 : self.j0 + self.nb]
+        self.exhausted = self.nb == 0
+        self.ub = float(reader._b_max[self.j0 : self.j0 + self.nb].max()) if self.nb else 0.0
+        if not self.exhausted:
+            self._span(0, 1)
 
-    def _load(self) -> None:
-        if self.exhausted:
-            self.docs = np.empty(0, np.int64)
-            self.tfs = np.empty(0, np.int64)
-            return
-        self.docs, self.tfs = decode_block(self.blocks[self.bi])
+    def _span(self, lo: int, hi: int) -> None:
+        """Decode blocks [lo, hi) as the resident span; position at start."""
+        self.docs, self.tfs = self.r._decode_range(self.j0 + lo, self.j0 + hi)
+        self.s_lo, self.s_hi = lo, hi
         self.pi = 0
 
     @property
     def doc(self) -> int:
-        return int(self.docs[self.pi]) if not self.exhausted else 1 << 62
+        return int(self.docs[self.pi])
 
-    @property
-    def tf(self) -> int:
-        return int(self.tfs[self.pi])
+    def _cbi(self) -> int:
+        """Block index (absolute, 0-based within term) of the current doc."""
+        return self.s_lo + int(
+            np.searchsorted(self.lasts[self.s_lo : self.s_hi], self.docs[self.pi])
+        )
 
-    def block_max(self) -> float:
-        return self.blocks[self.bi]["max_score"] if not self.exhausted else 0.0
+    def bound(self, span: int) -> int:
+        """doc_last of the block ``span`` blocks ahead of the current one —
+        the candidate range end for range-at-a-time processing."""
+        b = self._cbi()
+        return int(self.lasts[min(b + span - 1, self.nb - 1)])
+
+    def span_max(self, hi: int) -> float:
+        """Max block max_score over blocks intersecting [current_doc, hi]."""
+        b = self._cbi()
+        e = b + int(np.searchsorted(self.lasts[b : self.nb], hi, side="left")) + 1
+        e = min(e, self.nb)
+        return float(self.r._b_max[self.j0 + b : self.j0 + e].max())
 
     def next_geq(self, target: int) -> None:
-        """Advance to the first posting with doc_id >= target (skip blocks)."""
-        if self.exhausted:
+        """Advance to the first posting with doc_id >= target (block skip)."""
+        if self.exhausted or self.docs[self.pi] >= target:
             return
-        while self.blocks[self.bi]["doc_last"] < target:
-            self.bi += 1
-            if self.bi >= len(self.blocks):
-                self.exhausted = True
-                return
-            self._load()
-        if self.docs[self.pi] < target:
+        if target <= self.lasts[self.s_hi - 1]:
             self.pi = int(np.searchsorted(self.docs, target, side="left"))
-            if self.pi >= len(self.docs):  # cannot happen: doc_last >= target
-                self.exhausted = True
+            return
+        nbi = int(np.searchsorted(self.lasts, target, side="left"))
+        if nbi >= self.nb:
+            self.exhausted = True
+            return
+        self._span(nbi, nbi + 1)
+        self.pi = int(np.searchsorted(self.docs, target, side="left"))
 
-    def advance(self) -> None:
-        self.pi += 1
-        if self.pi >= len(self.docs):
-            self.bi += 1
-            if self.bi >= len(self.blocks):
-                self.exhausted = True
-            else:
-                self._load()
+    def range_take(self, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Postings with current_doc <= doc_id <= hi (extends the decoded
+        span if the range crosses its end)."""
+        if hi > self.lasts[self.s_hi - 1]:
+            cur = self.docs[self.pi]
+            b_hi = int(np.searchsorted(self.lasts, hi, side="left"))
+            self._span(self.s_lo, min(b_hi + 1, self.nb))
+            self.pi = int(np.searchsorted(self.docs, cur, side="left"))
+        j = int(np.searchsorted(self.docs, hi, side="right"))
+        return self.docs[self.pi : j], self.tfs[self.pi : j]
+
+
+#: blocks per scoring range in BMW — amortizes the Python-level outer loop
+#: over ~SPAN*128 postings while keeping block-max pruning at span granularity
+_SPAN_BLOCKS = 8
 
 
 class Searcher:
@@ -223,85 +388,91 @@ class Searcher:
 
     # ------------------------------------------------------------------ bmw
     def _bmw(self, terms: list[str], k: int, allowed: np.ndarray | None) -> list[tuple[int, float]]:
-        """Block-max WAND (Ding & Suel 2011 structure, simplified shallow moves).
+        """Block-max WAND (Ding & Suel 2011), range-vectorized.
 
-        Maintains a size-k heap keyed (score, -doc_id); candidates arrive in
-        increasing doc_id, so pruning at ``ub <= threshold`` preserves the
-        (score desc, doc_id asc) tie-break exactly.
+        Classic WAND pivoting on global term upper bounds selects the next
+        candidate doc; block-max metadata then prunes (or scores) a whole
+        doc-id RANGE at a time — the range ending at the earliest current
+        block boundary — so scoring inside a surviving range is numpy over
+        whole block slices instead of per-posting Python. Pruning decisions
+        use only upper bounds, so results are exactly the TAAT ranking
+        (bit-equal scores, same (score desc, doc_id asc) tie-break).
         """
         r = self.r
-        cursors = [
-            _Cursor(t, r.idf(t), r.terms[t]["blocks"]) for t in terms if t in r.terms
-        ]
-        cursors = [c for c in cursors if not c.exhausted]
+        cursors = []
+        for t in terms:
+            tid = r._tid.get(t)
+            if tid is not None:
+                c = _Cursor(r, t, tid, r.idf(t))
+                if not c.exhausted:
+                    cursors.append(c)
         if not cursors:
             return []
-        allowed_set = None
-        if allowed is not None:
-            allowed_set = allowed  # sorted np array; membership via searchsorted
-        heap: list[tuple[float, int]] = []  # (score, -doc_id), min-heap of k best
-
-        def threshold() -> float:
-            return heap[0][0] if len(heap) >= k else -1.0
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of k best
 
         while True:
             live = [c for c in cursors if not c.exhausted]
             if not live:
                 break
             live.sort(key=lambda c: c.doc)
-            # pivot: first prefix whose global-UB sum reaches threshold
+            th = heap[0][0] if len(heap) >= k else -1.0
+            # pivot: first prefix whose global-UB sum exceeds threshold
             ub_sum = 0.0
             pivot_idx = -1
-            th = threshold()
             for i, c in enumerate(live):
                 ub_sum += c.ub
                 if ub_sum > th:
                     pivot_idx = i
                     break
             if pivot_idx < 0:
-                break  # no candidate can beat threshold
+                break  # no remaining doc can beat the threshold
             pivot_doc = live[pivot_idx].doc
-            if live[0].doc == pivot_doc:
-                # block-max refinement: exact UB from current blocks
-                bm_sum = 0.0
-                for c in live:
-                    if c.doc > pivot_doc:
-                        break
-                    c.next_geq(pivot_doc)  # aligns block for block_max
-                    if not c.exhausted and c.doc <= pivot_doc:
-                        pass
-                for c in live:
-                    if not c.exhausted and c.doc == pivot_doc:
-                        bm_sum += c.block_max()
-                if bm_sum > th:
-                    ok = allowed_set is None or _in_sorted(allowed_set, pivot_doc)
-                    if ok:
-                        score = 0.0
-                        for c in sorted(
-                            (c for c in live if not c.exhausted and c.doc == pivot_doc),
-                            key=lambda c: c.term,
-                        ):
-                            score += bm25_one(
-                                c.tf, int(r.doclens(np.array([pivot_doc]))[0]),
-                                c.idf, r.k1, r.b, r.avgdl,
-                            )
+            if live[0].doc < pivot_doc:
+                for c in live[:pivot_idx]:
+                    c.next_geq(pivot_doc)  # block-level skip
+                continue
+            # every live cursor is at doc >= pivot_doc; process a doc-id
+            # RANGE ending at the earliest cursor's span bound (~SPAN blocks)
+            # so pruning checks and scoring amortize over whole block spans
+            # before the heap fills no range can be pruned, so take bigger
+            # strides; once a real threshold exists, narrow for pruning
+            span = _SPAN_BLOCKS if th > 0.0 else 4 * _SPAN_BLOCKS
+            range_end = min(c.bound(span) for c in live)
+            involved = [c for c in live if c.doc <= range_end]
+            bm_sum = sum(c.span_max(range_end) for c in involved)
+            if bm_sum <= th:
+                for c in involved:
+                    c.next_geq(range_end + 1)
+                continue
+            # score the whole range vectorized, in sorted term order
+            parts = []
+            for c in sorted(involved, key=lambda c: c.term):
+                d, f = c.range_take(range_end)
+                if d.size:
+                    parts.append((c.idf, d, f))
+            if parts:
+                uniq = np.unique(np.concatenate([d for _, d, _ in parts]))
+                acc = np.zeros(uniq.size, np.float64)
+                for idf, d, f in parts:
+                    sc = bm25_term_scores(f, r.doclens(d), idf, r.k1, r.b, r.avgdl)
+                    acc[np.searchsorted(uniq, d)] += sc
+                if allowed is not None:
+                    m = np.isin(uniq, allowed)
+                    uniq, acc = uniq[m], acc[m]
+                if uniq.size:
+                    if len(heap) >= k:
+                        keep = acc >= heap[0][0]
+                        uniq, acc = uniq[keep], acc[keep]
+                    for d, s in zip(uniq.tolist(), acc.tolist()):
+                        item = (s, -d)
                         if len(heap) < k:
-                            heapq.heappush(heap, (score, -pivot_doc))
-                        elif (score, -pivot_doc) > heap[0]:
-                            heapq.heapreplace(heap, (score, -pivot_doc))
-                for c in live:
-                    if not c.exhausted and c.doc == pivot_doc:
-                        c.advance()
-            else:
-                # advance the earliest cursor to the pivot doc
-                live[0].next_geq(pivot_doc)
+                            heapq.heappush(heap, item)
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
+            for c in involved:
+                c.next_geq(range_end + 1)
         out = sorted(heap, key=lambda s: (-s[0], -s[1]))
         return [(-d, s) for s, d in out]
-
-
-def _in_sorted(arr: np.ndarray, v: int) -> bool:
-    i = np.searchsorted(arr, v)
-    return i < arr.size and arr[i] == v
 
 
 class QueryScorer:

@@ -67,3 +67,33 @@ def test_block_roundtrip_and_max_score():
         all_tfs.append(f)
     assert np.concatenate(all_docs).tolist() == doc_ids.tolist()
     assert np.concatenate(all_tfs).tolist() == tfs.tolist()
+
+
+def test_encode_group_blocks_matches_per_term():
+    """The vectorized whole-group encoder must be bit-identical to the
+    per-term reference encoder (same blocks, same bytes, same maxes)."""
+    import numpy as np
+
+    from nmr_fair_dos_ray.codec import encode_blocks, encode_group_blocks
+    from nmr_fair_dos_ray.search.bm25 import bm25_idf
+
+    rng = np.random.RandomState(7)
+    counts = np.array([1, 3, 130, 128, 300, 2, 129])
+    docs_l, tfs_l, dls_l = [], [], []
+    for c in counts:
+        d = np.sort(rng.choice(100000, size=c, replace=False)).astype(np.int64)
+        docs_l.append(d)
+        tfs_l.append(rng.randint(1, 50, c).astype(np.int64))
+        dls_l.append(rng.randint(10, 500, c).astype(np.int64))
+    doc_ids = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    n_docs, avgdl, k1, b = 100000, 220.5, 1.2, 0.75
+    idfs = np.array([bm25_idf(int(c), n_docs) for c in counts])
+    got = encode_group_blocks(doc_ids, tfs, dls, counts, idfs, k1, b, avgdl).to_pylist()
+    for i, c in enumerate(counts):
+        want = encode_blocks(docs_l[i], tfs_l[i], dls_l[i], idfs[i], k1, b, avgdl)
+        assert len(got[i]) == len(want)
+        for gb, wb in zip(got[i], want):
+            for k in ("doc_base", "doc_last", "n", "max_score", "max_tf_norm", "docs", "tfs"):
+                assert gb[k] == wb[k], (i, k)
