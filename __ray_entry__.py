@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_neardup": dp.q_minhash_neardup,
         "q_simhash_sample": dp.q_simhash_sample,
         "q_fingerprints": dp.q_fingerprints,
+        "q_pid_mint": dp.q_pid_mint,
         # similarity search
         "q_ann_top5": dp.q_ann_top5,
         "q_ivf_overlap": dp.q_ivf_overlap,
@@ -224,10 +225,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "q_dedup_exact": """
-            SELECT keep_id, n_docs FROM (
-                SELECT min(doc_id) AS keep_id, count(*) AS n_docs
-                FROM documents GROUP BY sha256(text)
-            ) WHERE n_docs > 1 ORDER BY keep_id
+            SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+            FROM documents GROUP BY sha256(text)
+            ORDER BY keep_id
+        """,
+        "q_pid_mint": """
+            SELECT doc_id,
+                   base64(encode('doc:' || source || '/' || doc_id)) AS pid,
+                   TRUE AS roundtrip_ok
+            FROM documents ORDER BY doc_id
         """,
         "q_ann_top5": """
             WITH q AS (

@@ -225,7 +225,9 @@ def encode_group_blocks(
     gaps_signed = (doc_ids - prev)[nonstart]
     if gaps_signed.size and gaps_signed.min() <= 0:
         raise ValueError("doc_ids must be strictly increasing within each term")
-    gap_vals = gaps_signed.astype(np.uint64)
+    # positive int64 → uint64 is a bit-identical reinterpret; avoid the copy
+    # (first-touch memory is the bottleneck on the bench VM)
+    gap_vals = gaps_signed.view(np.uint64)
     gap_stream, gap_nb = varint_encode_all(gap_vals)
     gap_byte_off = np.concatenate([[0], np.cumsum(gap_nb)])
     # per-block byte ranges in the gap stream: block i covers gap values
@@ -236,7 +238,8 @@ def encode_group_blocks(
     doc_offsets[-1] = gap_byte_off[-1]
     # (contiguity: every gap value belongs to exactly one block, in order)
 
-    tf_stream, tf_nb = varint_encode_all(tfs.astype(np.uint64))
+    tf_u64 = tfs.view(np.uint64) if tfs.dtype == np.int64 else tfs.astype(np.uint64)
+    tf_stream, tf_nb = varint_encode_all(tf_u64)
     tf_byte_off = np.concatenate([[0], np.cumsum(tf_nb)])
     tf_offsets = np.empty(bstarts.size + 1, np.int64)
     tf_offsets[:-1] = tf_byte_off[bstarts]

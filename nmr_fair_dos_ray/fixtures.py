@@ -289,8 +289,10 @@ def make_edges(n_records: int, n_edges: int, out_path: str) -> str:
 
 def fixture_dir(scale: str, root: str = "/tmp/nmr_fair_dos_ray/fixtures") -> dict[str, str]:
     """Materialize all fixtures at a named scale; returns table paths."""
-    n = {"sf-unit": 200, "sf-test": 2000, "sf-bench": 50000}[scale]
-    d = os.path.join(root, scale)
+    n = {"sf-unit": 200, "sf-test": 2000, "sf-bench": 150000}[scale]
+    # cache key includes the row count so a scale redefinition can't collide
+    # with a previously generated corpus
+    d = os.path.join(root, f"{scale}-{n}")
     os.makedirs(d, exist_ok=True)
     corpus = make_corpus(n, os.path.join(d, "corpus.parquet"))
     queries = make_queries(max(40, n // 20), corpus, os.path.join(d, "queries.parquet"))

@@ -279,6 +279,29 @@ def q_ivf_overlap(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_pid_mint(sf_dir: str) -> pd.DataFrame:
+    """PID minting as the reference does it: base64 of a cleartext identifier
+    (reference: src/nmr_FAIR_DOs/utils.py:130-167 encodeInBase64, used at
+    chemotion.py:317-319), with the decode round-trip asserted per row."""
+    from nmr_fair_dos_ray.functions.scalar import decode_from_base64, encode_in_base64
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def mint(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        srcs = b["source"].to_pylist()
+        pids = [encode_in_base64(f"doc:{s}/{d}") for s, d in zip(srcs, ids)]
+        ok = [decode_from_base64(p) == f"doc:{s}/{d}"
+              for p, s, d in zip(pids, srcs, ids)]
+        return pa.table(
+            {"doc_id": b["doc_id"], "pid": pa.array(pids, pa.string()),
+             "roundtrip_ok": pa.array(ok, pa.bool_())}
+        )
+
+    df = docs.map_batches(mint, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 # -------------------------------------------------------------- multimodal
 def q_image_pipeline(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: attach binary payloads → actor-pool decode (fake

@@ -137,11 +137,14 @@ class Phase1Invert:
     per actor in ``__init__`` (SURVEY.md §2.5), work happens per batch.
     """
 
-    def __init__(self, cfg: IndexConfig, runs_dir: str, docs_dir: str):
+    def __init__(self, cfg: IndexConfig, runs_dir: str, docs_dir: str,
+                 df_min_cnt: int = 1):
         self.cfg = cfg
         self.tok = Tokenizer(cfg.tokenizer_mode)
         self.runs_dir = runs_dir
         self.docs_dir = docs_dir
+        self.df_min_cnt = max(1, int(df_min_cnt))
+        _cap_arrow_threads()
 
     def _read_columns(self) -> list[str] | None:
         cols = {self.cfg.content_col, *self.cfg.token_cols, *self.cfg.field_cols,
@@ -252,8 +255,15 @@ class Phase1Invert:
         _atomic_write_parquet(docs, docs_path)
         # partial document frequencies (term_hash → rows-in-run): a tiny
         # sidecar per run so hot-term detection is a merge of pre-aggregated
-        # sketches instead of a full shuffle of the posting rows
+        # sketches instead of a full shuffle of the posting rows. Rows with
+        # cnt < df_min_cnt are dropped — Zipf-tail terms can't reach the hot
+        # threshold anyway (detection is a skew heuristic, not a correctness
+        # boundary: salting any superset/subset of the true hot set yields an
+        # identical index, only the merge balance differs).
         u_th, u_cnt = np.unique(th, return_counts=True)
+        if self.df_min_cnt > 1:
+            keep_hot = u_cnt >= self.df_min_cnt
+            u_th, u_cnt = u_th[keep_hot], u_cnt[keep_hot]
         _atomic_write_parquet(
             pa.table({"term_hash": pa.array(u_th.view(np.int64)),
                       "cnt": pa.array(u_cnt.astype(np.int64))}),
@@ -275,6 +285,24 @@ class Phase1Invert:
             "bytes": int(os.path.getsize(run_path) + os.path.getsize(docs_path)),
             "wall_sec": time.time() - t0,
         }
+
+
+def _cap_arrow_threads(n: int = 2) -> None:
+    """Cap pyarrow's global thread pools inside Ray worker processes.
+
+    Each Ray task gets ONE scheduled CPU, but pyarrow defaults both its CPU
+    and IO pools to the machine's core count — with 32 concurrent workers
+    that is 32×32 threads and throughput *drops* as workers are added
+    (measured: the 32-CPU build ran 2× slower than the 8-CPU one before this
+    cap). Parallelism belongs to Ray's scheduler, not nested thread pools.
+    """
+    try:
+        if pa.cpu_count() > n:
+            pa.set_cpu_count(n)
+        if pa.io_thread_count() > 2 * n:
+            pa.set_io_thread_count(2 * n)
+    except Exception:
+        pass
 
 
 def _atomic_write_parquet(table: pa.Table, path: str) -> None:
@@ -403,9 +431,20 @@ def build_index(
     t0 = time.time()
     done_p1 = man.done_partitions("invert") if resume else set()
     todo = [it for it in items if it["work_item_id"] not in done_p1]
+    # planned hot threshold (doc count known up front from the footer scout)
+    # drives the sidecar pre-filter: per-run counts below thr/(4*num_items)
+    # can't plausibly belong to a hot term (Zipf heads are spread ~uniformly
+    # across doc-contiguous runs), so the tail never hits the sidecars
+    planned_docs = sum(it["num_rows"] for it in items)
+    thr_planned = cfg.hot_df_threshold or max(1024, planned_docs // 8)
+    df_min_cnt = (
+        max(1, thr_planned // (4 * max(1, len(items))))
+        if cfg.salt_hot_terms
+        else 1
+    )
     if todo:
         ds = rd.from_items(todo)
-        stage = Phase1Invert(cfg, runs_dir, docs_dir)
+        stage = Phase1Invert(cfg, runs_dir, docs_dir, df_min_cnt=df_min_cnt)
         kwargs: dict = {"batch_size": 1, "batch_format": "pyarrow"}
         if concurrency:
             kwargs["concurrency"] = concurrency
@@ -462,25 +501,43 @@ def build_index(
             t = pads.dataset(df_paths).to_table(columns=["term_hash", "cnt"])
             th_all = t["term_hash"].to_numpy(zero_copy_only=False)
             cnt_all = t["cnt"].to_numpy(zero_copy_only=False)
-            order = np.argsort(th_all, kind="stable")
-            th_s, cnt_s = th_all[order], cnt_all[order]
-            starts = np.flatnonzero(
-                np.concatenate([[True], th_s[1:] != th_s[:-1]])
-            )
-            sums = np.add.reduceat(cnt_s, starts) if th_s.size else np.empty(0, np.int64)
-            hot_hashes = np.sort(th_s[starts][sums >= thr]).astype(np.int64)
+            est_hot_postings = 0
+            if th_all.size:
+                order = np.argsort(th_all, kind="stable")
+                th_s, cnt_s = th_all[order], cnt_all[order]
+                starts = np.flatnonzero(
+                    np.concatenate([[True], th_s[1:] != th_s[:-1]])
+                )
+                sums = np.add.reduceat(cnt_s, starts)
+                is_hot = sums >= thr
+                hot_hashes = np.sort(th_s[starts][is_hot]).astype(np.int64)
+                est_hot_postings = int(sums[is_hot].sum())
+            else:
+                hot_hashes = np.empty(0, np.int64)
             man.mark_stage(
                 "hot", status="done", threshold=int(thr),
                 n_hot=int(hot_hashes.size),
                 hot_hashes=[int(h) for h in hot_hashes],
+                est_hot_postings=est_hot_postings,
                 wall_sec=time.time() - t_hot,
             )
     hot_sorted = np.sort(hot_hashes)
-    n_salts = max(1, int(cfg.n_salts))
     # hot run-buckets: contiguous slices of the doc-ordered run list, so each
-    # bucket covers a disjoint doc-id range and the final merge is a concat
-    buckets = [[str(p) for p in c] for c in np.array_split(run_paths, n_salts)
-               if len(c)] if hot_sorted.size else []
+    # bucket covers a disjoint doc-id range and the final merge is a concat.
+    # Bucket count adapts to the estimated hot posting volume (target ≈250k
+    # postings per task keeps per-task working sets small — which matters
+    # both for worker heap reuse and for straggler-free scheduling) and is
+    # persisted so a resumed build slices identically.
+    n_buckets = 0
+    if hot_sorted.size:
+        est = int(man.stage("hot").get("est_hot_postings", 0))
+        n_buckets = int(man.stage("hot").get("n_buckets", 0))
+        if not n_buckets:
+            n_buckets = max(cfg.n_salts, min(128, -(-est // 250_000)))
+            n_buckets = min(n_buckets, len(run_paths))
+            man.mark_stage("hot", n_buckets=int(n_buckets))
+    buckets = [[str(p) for p in c] for c in np.array_split(run_paths, n_buckets)
+               if len(c)] if n_buckets else []
 
     # ------------- phase 2: per-shard merge (storage-backed shuffle) ------
     # No Dataset.groupby: phase-1 run files are sorted by shard_id with
@@ -506,6 +563,7 @@ def build_index(
 
         def merge_task(batch: pa.Table) -> pa.Table:
             # one descriptor per batch (batch_size=1): read → build → write
+            _cap_arrow_threads()
             rows = []
             for it in batch.to_pylist():
                 t0m = time.time()
@@ -585,42 +643,64 @@ def merge_hot_parts(hotparts_dir: str, shards_dir: str, n_docs: int) -> str | No
     )
     if not part_files:
         return None
-    by_term: dict[int, list[dict]] = {}
-    for pf in part_files:
-        for row in pq.read_table(pf).to_pylist():
-            by_term.setdefault(row["term_hash"], []).append(row)
-    out_rows = []
-    for _th, rows in sorted(by_term.items()):
-        rows.sort(key=lambda r: r["blocks"][0]["doc_base"])
-        blocks: list[dict] = []
-        for r in rows:
-            if blocks and r["blocks"][0]["doc_base"] <= blocks[-1]["doc_last"]:
-                raise AssertionError(
-                    f"hot-term doc ranges overlap for term {rows[0]['term']!r}"
-                )
-            blocks.extend(r["blocks"])
-        df = sum(r["df"] for r in rows)
-        idf = bm25_idf(df, n_docs)
-        for blk in blocks:
-            blk["max_score"] = idf * blk["max_tf_norm"]
-        out_rows.append(
-            {
-                "term": rows[0]["term"],
-                "term_hash": rows[0]["term_hash"],
-                "df": df,
-                "cf": sum(r["cf"] for r in rows),
-                "blocks": blocks,
-            }
-        )
-    t = pa.table(
+    # fully vectorized: sort part rows by (term_hash, first block doc_base) —
+    # after that, every term's blocks are already concatenated in doc order
+    # in the flattened struct array; only the per-term list offsets and the
+    # max_score field (now with the true global idf) need rebuilding.
+    t = pa.concat_tables(
+        [pq.read_table(p) for p in part_files]
+    ).combine_chunks()
+    blocks = t["blocks"].combine_chunks()
+    offs = blocks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = blocks.flatten()
+    first_base = flat.field("doc_base").to_numpy(zero_copy_only=False)[offs[:-1]]
+    th = t["term_hash"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((first_base, th))
+    t = t.take(pa.array(order))
+    blocks = t["blocks"].combine_chunks()
+    offs = blocks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = blocks.flatten()
+    th = t["term_hash"].to_numpy(zero_copy_only=False)
+    dfs = t["df"].to_numpy(zero_copy_only=False)
+    cfs = t["cf"].to_numpy(zero_copy_only=False)
+    n_blocks_per_row = np.diff(offs)
+
+    starts = np.flatnonzero(np.concatenate([[True], th[1:] != th[:-1]]))
+    df_tot = np.add.reduceat(dfs, starts)
+    cf_tot = np.add.reduceat(cfs, starts)
+    # disjointness check: within a term, each row's first base must follow
+    # the previous row's last block doc_last
+    lasts_flat = flat.field("doc_last").to_numpy(zero_copy_only=False)
+    row_last = lasts_flat[offs[1:] - 1]
+    same_term = th[1:] == th[:-1]
+    if np.any(same_term & (first_base[order][1:] <= row_last[:-1])):
+        raise AssertionError("hot-term doc ranges overlap across salted parts")
+
+    idfs = np.array([bm25_idf(int(d), n_docs) for d in df_tot], np.float64)
+    blocks_per_term = np.add.reduceat(n_blocks_per_row, starts)
+    idf_of_block = np.repeat(idfs, blocks_per_term)
+    new_max = idf_of_block * flat.field("max_tf_norm").to_numpy(zero_copy_only=False)
+    fields = {f: flat.field(f) for f in
+              ("doc_base", "doc_last", "n", "max_tf_norm", "docs", "tfs")}
+    new_flat = pa.StructArray.from_arrays(
+        [fields["doc_base"], fields["doc_last"], fields["n"],
+         pa.array(new_max, pa.float64()), fields["max_tf_norm"],
+         fields["docs"], fields["tfs"]],
+        names=["doc_base", "doc_last", "n", "max_score", "max_tf_norm",
+               "docs", "tfs"],
+    )
+    new_offsets = np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32)
+    out = pa.table(
         {
-            "term": pa.array([r["term"] for r in out_rows], pa.string()),
-            "term_hash": pa.array([r["term_hash"] for r in out_rows], pa.int64()),
-            "df": pa.array([r["df"] for r in out_rows], pa.int64()),
-            "cf": pa.array([r["cf"] for r in out_rows], pa.int64()),
-            "blocks": pa.array([r["blocks"] for r in out_rows], pa.list_(BLOCK_TYPE)),
+            "term": t["term"].combine_chunks().take(pa.array(starts)),
+            "term_hash": pa.array(th[starts], pa.int64()),
+            "df": pa.array(df_tot, pa.int64()),
+            "cf": pa.array(cf_tot, pa.int64()),
+            "blocks": pa.ListArray.from_arrays(
+                pa.array(new_offsets, pa.int32()), new_flat
+            ),
         }
     )
     path = os.path.join(shards_dir, "shard_hot.parquet")
-    _atomic_write_parquet(t, path)
+    _atomic_write_parquet(out, path)
     return path

@@ -34,9 +34,12 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from nmr_fair_dos_ray.codec import delta_decode, varint_decode
+
+_MISS = object()  # sentinel distinguishing "not cached" from "cached None"
 from nmr_fair_dos_ray.search.bm25 import bm25_idf, bm25_term_scores
 from nmr_fair_dos_ray.tokenizer import Tokenizer
 
@@ -49,20 +52,22 @@ class _TermsView:
         self._r = reader
 
     def __contains__(self, term: str) -> bool:
-        return term in self._r._tid
+        return self._r._lookup(term) is not None
 
     def __iter__(self):
-        return iter(self._r._tid)
+        return iter(self._r._terms_arr.to_pylist())
 
     def __len__(self) -> int:
-        return len(self._r._tid)
+        return len(self._r._terms_arr)
 
     def get(self, term: str, default=None):
         return self[term] if term in self else default
 
     def __getitem__(self, term: str) -> dict:
         r = self._r
-        tid = r._tid[term]
+        tid = r._lookup(term)
+        if tid is None:
+            raise KeyError(term)
         j0, j1 = int(r._boff[tid]), int(r._boff[tid + 1])
         blocks = [
             {
@@ -79,24 +84,38 @@ class _TermsView:
         return {"df": int(r._df[tid]), "blocks": blocks}
 
     def items(self):
-        for term in self._r._tid:
+        for term in self:
             yield term, self[term]
 
 
 class IndexReader:
-    """Loads an index directory built by ``pipelines.index_build``."""
+    """Loads an index directory built by ``pipelines.index_build``.
 
-    def __init__(self, index_dir: str):
+    ``IndexReader(index_dir)`` loads locally; ``reader.to_state()`` returns a
+    flat dict of Arrow/numpy arrays suitable for ``ray.put`` — actors on the
+    same node then reconstruct readers with ``IndexReader.from_state(state)``
+    as ZERO-COPY views over the shared object-store copy (one index copy per
+    node, regardless of pool size). Term lookup is a binary search over the
+    lexicographic permutation — no per-reader Python dict.
+    """
+
+    def __init__(self, index_dir: str | None = None, *, state: dict | None = None):
+        if state is None:
+            state = self.build_state(index_dir)
+        self._state = state
+        self._init_from_state(state)
+
+    @classmethod
+    def from_state(cls, state: dict) -> "IndexReader":
+        return cls(None, state=state)
+
+    def to_state(self) -> dict:
+        return self._state
+
+    @staticmethod
+    def build_state(index_dir: str) -> dict:
         with open(os.path.join(index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
-        cfg = self.manifest["config"]
-        self.tokenizer = Tokenizer(cfg["tokenizer_mode"])
-        self.k1 = float(cfg["k1"])
-        self.b = float(cfg["b"])
-        stats = self.manifest["stats"]
-        self.n_docs = int(stats["n_docs"])
-        self.avgdl = float(stats["avgdl"])
-
+            manifest = json.load(f)
         shards_dir = os.path.join(index_dir, "shards")
         tables = []
         if os.path.isdir(shards_dir):
@@ -105,55 +124,102 @@ class IndexReader:
                     tables.append(
                         pq.read_table(os.path.join(shards_dir, p), memory_map=True)
                     )
-        t = (
-            pa.concat_tables(tables).combine_chunks()
-            if tables
-            else None
-        )
+        t = pa.concat_tables(tables).combine_chunks() if tables else None
+        st: dict = {"manifest": manifest}
         if t is None or t.num_rows == 0:
-            self._tid: dict[str, int] = {}
-            self._df = np.empty(0, np.int64)
-            self._boff = np.zeros(1, np.int64)
-            self._b_base = self._b_last = np.empty(0, np.int64)
-            self._b_n = np.empty(0, np.int32)
-            self._b_max = self._b_maxtf = np.empty(0, np.float64)
-            self._b_docs = pa.array([], pa.binary())
-            self._b_tfs = pa.array([], pa.binary())
+            st.update(
+                terms=pa.array([], pa.string()),
+                order=np.empty(0, np.int64),
+                df=np.empty(0, np.int64),
+                boff=np.zeros(1, np.int64),
+                b_base=np.empty(0, np.int64), b_last=np.empty(0, np.int64),
+                b_n=np.empty(0, np.int32),
+                b_max=np.empty(0, np.float64), b_maxtf=np.empty(0, np.float64),
+                b_docs=pa.array([], pa.binary()), b_tfs=pa.array([], pa.binary()),
+            )
         else:
-            self._tid = {term: i for i, term in enumerate(t["term"].to_pylist())}
-            self._df = t["df"].to_numpy(zero_copy_only=False)
+            terms = t["term"].combine_chunks()
             blocks = t["blocks"].combine_chunks()
-            self._boff = blocks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             flat = blocks.flatten()
-            self._b_base = flat.field("doc_base").to_numpy(zero_copy_only=False)
-            self._b_last = flat.field("doc_last").to_numpy(zero_copy_only=False)
-            self._b_n = flat.field("n").to_numpy(zero_copy_only=False)
-            self._b_max = flat.field("max_score").to_numpy(zero_copy_only=False)
-            self._b_maxtf = flat.field("max_tf_norm").to_numpy(zero_copy_only=False)
-            self._b_docs = flat.field("docs")
-            self._b_tfs = flat.field("tfs")
+            st.update(
+                terms=terms,
+                order=pc.sort_indices(terms).to_numpy(zero_copy_only=False).astype(np.int64),
+                df=t["df"].to_numpy(zero_copy_only=False),
+                boff=blocks.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
+                b_base=flat.field("doc_base").to_numpy(zero_copy_only=False),
+                b_last=flat.field("doc_last").to_numpy(zero_copy_only=False),
+                b_n=flat.field("n").to_numpy(zero_copy_only=False),
+                b_max=flat.field("max_score").to_numpy(zero_copy_only=False),
+                b_maxtf=flat.field("max_tf_norm").to_numpy(zero_copy_only=False),
+                b_docs=flat.field("docs"),
+                b_tfs=flat.field("tfs"),
+            )
+        docs_dir = os.path.join(index_dir, "docs")
+        docs = pq.read_table(docs_dir, columns=["doc_id", "doclen"], memory_map=True)
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        st["doc_ids_sorted"] = ids[order]
+        st["doclens_sorted"] = docs["doclen"].to_numpy(zero_copy_only=False)[order]
+        return st
+
+    def _init_from_state(self, st: dict) -> None:
+        self.manifest = st["manifest"]
+        cfg = self.manifest["config"]
+        self.tokenizer = Tokenizer(cfg["tokenizer_mode"])
+        self.k1 = float(cfg["k1"])
+        self.b = float(cfg["b"])
+        stats = self.manifest["stats"]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self._terms_arr = st["terms"]
+        self._order = st["order"]
+        self._df = st["df"]
+        self._boff = st["boff"]
+        self._b_base = st["b_base"]
+        self._b_last = st["b_last"]
+        self._b_n = st["b_n"]
+        self._b_max = st["b_max"]
+        self._b_maxtf = st["b_maxtf"]
+        self._b_docs = st["b_docs"]
+        self._b_tfs = st["b_tfs"]
         # raw byte views for vectorized multi-block decode: consecutive
         # blocks' byte streams are contiguous in the (combined) value buffer,
         # so a term's whole posting list decodes in ONE varint pass
         self._docs_offs, self._docs_data = _binary_views(self._b_docs)
         self._tfs_offs, self._tfs_data = _binary_views(self._b_tfs)
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._tid_cache: dict[str, int | None] = {}
         self.terms = _TermsView(self)
-
-        # doclen lookup: dense direct-index fast path when doc_ids are a
-        # contiguous range (both docID assignment modes produce this), else
-        # binary search on the sorted id array
-        docs_dir = os.path.join(index_dir, "docs")
-        docs = pq.read_table(docs_dir, columns=["doc_id", "doclen"], memory_map=True)
-        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        self._doc_ids_sorted = ids[order]
-        self._doclens_sorted = docs["doclen"].to_numpy(zero_copy_only=False)[order]
+        self._doc_ids_sorted = st["doc_ids_sorted"]
+        self._doclens_sorted = st["doclens_sorted"]
         n = self._doc_ids_sorted.size
         self._dense = bool(
             n and self._doc_ids_sorted[-1] - self._doc_ids_sorted[0] == n - 1
         )
         self._dense_base = int(self._doc_ids_sorted[0]) if n else 0
+
+    def _lookup(self, term: str) -> int | None:
+        """term -> row index, by binary search over the sorted permutation."""
+        hit = self._tid_cache.get(term, _MISS)
+        if hit is not _MISS:
+            return hit
+        lo, hi = 0, self._order.size
+        arr, order = self._terms_arr, self._order
+        tid: int | None = None
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = arr[int(order[mid])].as_py()
+            if v < term:
+                lo = mid + 1
+            elif v > term:
+                hi = mid
+            else:
+                tid = int(order[mid])
+                break
+        if len(self._tid_cache) >= 4096:
+            self._tid_cache.pop(next(iter(self._tid_cache)))
+        self._tid_cache[term] = tid
+        return tid
 
     # ----------------------------------------------------------------- api
     def doclens(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -203,17 +269,17 @@ class IndexReader:
         hit = self._postings_cache.get(term)
         if hit is not None:
             return hit
-        tid = self._tid.get(term)
+        tid = self._lookup(term)
         if tid is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         out = self._decode_range(int(self._boff[tid]), int(self._boff[tid + 1]))
-        if len(self._postings_cache) >= 64:
+        if len(self._postings_cache) >= 256:
             self._postings_cache.pop(next(iter(self._postings_cache)))
         self._postings_cache[term] = out
         return out
 
     def idf(self, term: str) -> float:
-        tid = self._tid.get(term)
+        tid = self._lookup(term)
         return bm25_idf(int(self._df[tid]), self.n_docs) if tid is not None else 0.0
 
 
@@ -243,6 +309,11 @@ class _Cursor:
     __slots__ = ("r", "term", "idf", "j0", "nb", "lasts", "s_lo", "s_hi",
                  "pi", "docs", "tfs", "ub", "exhausted")
 
+    #: lists longer than this many blocks are decoded whole through the
+    #: reader's LRU — Zipf-head terms recur across queries and block
+    #: skipping rarely pays on them, while rare lists stay lazily decoded
+    CACHE_BLOCKS = 64
+
     def __init__(self, reader: IndexReader, term: str, tid: int, idf: float):
         self.r = reader
         self.term = term
@@ -252,7 +323,16 @@ class _Cursor:
         self.lasts = reader._b_last[self.j0 : self.j0 + self.nb]
         self.exhausted = self.nb == 0
         self.ub = float(reader._b_max[self.j0 : self.j0 + self.nb].max()) if self.nb else 0.0
-        if not self.exhausted:
+        if self.exhausted:
+            return
+        cached = reader._postings_cache.get(term)
+        if cached is None and self.nb > self.CACHE_BLOCKS:
+            cached = reader.postings(term)  # decodes once, fills the LRU
+        if cached is not None:
+            self.docs, self.tfs = cached
+            self.s_lo, self.s_hi = 0, self.nb
+            self.pi = 0
+        else:
             self._span(0, 1)
 
     def _span(self, lo: int, hi: int) -> None:
@@ -401,7 +481,7 @@ class Searcher:
         r = self.r
         cursors = []
         for t in terms:
-            tid = r._tid.get(t)
+            tid = r._lookup(t)
             if tid is not None:
                 c = _Cursor(r, t, tid, r.idf(t))
                 if not c.exhausted:
@@ -480,11 +560,21 @@ class QueryScorer:
 
     ``queries_ds.map_batches(QueryScorer, fn_constructor_kwargs={"index_dir": ...},
     concurrency=N, batch_format="pyarrow")`` — index loads once per actor.
+    Pass ``index_ref=ray.put(IndexReader(d).to_state())`` instead of
+    ``index_dir`` to share ONE object-store copy of the index across every
+    actor on a node (zero-copy views; the scale path for serving pools).
     Output schema: (query_id int64, rank int32, doc_id int64, score float64).
     """
 
-    def __init__(self, index_dir: str, k: int = 10, algorithm: str = "bmw"):
-        self.searcher = Searcher(IndexReader(index_dir))
+    def __init__(self, index_dir: str | None = None, k: int = 10,
+                 algorithm: str = "bmw", index_ref=None):
+        if index_ref is not None:
+            import ray
+
+            reader = IndexReader.from_state(ray.get(index_ref))
+        else:
+            reader = IndexReader(index_dir)
+        self.searcher = Searcher(reader)
         self.k = k
         self.algorithm = algorithm
 

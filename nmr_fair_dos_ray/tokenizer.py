@@ -155,7 +155,18 @@ class Tokenizer:
 
         compound = pc.utf8_lower(raw)
 
-        s = raw
+        # fast path: pure-lowercase or pure-digit tokens can never produce
+        # identifier parts different from their compound — skip the (regex-
+        # and bandwidth-heavy) boundary chain for them entirely
+        simple = pc.match_substring_regex(
+            raw, r"^([a-z]+|[0-9]+)$"
+        ).to_numpy(zero_copy_only=False)
+        cand_mask = ~simple
+        cand = raw.filter(pa.array(cand_mask))
+        cand_compound = compound.filter(pa.array(cand_mask))
+        cand_src = np.flatnonzero(cand_mask)  # candidate idx -> raw idx
+
+        s = cand
         for pat, rep in _BOUNDARY_RULES:
             s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
         s = pc.replace_substring(s, pattern="_", replacement=" ")
@@ -163,25 +174,25 @@ class Tokenizer:
         parts_list = pc.split_pattern(s, pattern=" ")
         parts_flat = pc.list_flatten(parts_list)
         parts_lens = pc.list_value_length(parts_list).to_numpy(zero_copy_only=False)
-        parts_token_idx = np.repeat(np.arange(len(raw), dtype=np.int64), parts_lens)
+        parts_token_idx = np.repeat(np.arange(len(cand), dtype=np.int64), parts_lens)
 
         # Keep parts only for tokens where splitting changed something:
         # i.e. NOT (exactly one non-empty part equal to the compound).
         nonempty = pc.not_equal(parts_flat, "").to_numpy(zero_copy_only=False)
-        nonempty_per_token = np.zeros(len(raw), np.int64)
+        nonempty_per_token = np.zeros(len(cand), np.int64)
         np.add.at(nonempty_per_token, parts_token_idx, nonempty.astype(np.int64))
         eq_compound = pc.equal(
-            parts_flat, compound.take(pa.array(parts_token_idx))
+            parts_flat, cand_compound.take(pa.array(parts_token_idx))
         ).to_numpy(zero_copy_only=False)
         one_part = nonempty_per_token == 1
         # token has exactly one nonempty part AND that part equals compound
-        eq_per_token = np.zeros(len(raw), np.int64)
+        eq_per_token = np.zeros(len(cand), np.int64)
         np.add.at(eq_per_token, parts_token_idx, (nonempty & eq_compound).astype(np.int64))
         single_same = one_part & (eq_per_token == 1)
 
         keep_part = nonempty & ~single_same[parts_token_idx]
         part_terms = parts_flat.filter(pa.array(keep_part))
-        part_rows = raw_rows[parts_token_idx[keep_part]]
+        part_rows = raw_rows[cand_src[parts_token_idx[keep_part]]]
 
         out_rows = np.concatenate([raw_rows, part_rows])
         out_terms = pa.concat_arrays(
