@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q03_top_building_orders": rel.q03_top_building_orders,
         "q05_revenue_by_nation": rel.q05_revenue_by_nation,
         "q_events_window": rel.q_events_window,
+        "q_session_windows": rel.q_session_windows,
+        "q_date_parse": rel.q_date_parse,
         "q_record_merge": rel.q_record_merge,
         "q_biggest_record": rel.q_biggest_record,
         "q_most_event_types": rel.q_most_event_types,
@@ -122,6 +124,43 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
             GROUP BY event_type ORDER BY event_type
+        """,
+        "q_session_windows": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) - 1 AS session_idx
+                FROM o
+            )
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   min(event_id) AS first_event_id,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
+        """,
+        "q_date_parse": """
+            SELECT event_id,
+                   CASE event_id % 4
+                        WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                        WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                        WHEN 2 THEN strftime(ts, '%Y-%m-%d')
+                        ELSE strftime(ts, '%d.%m.%Y') END AS rendered,
+                   CASE event_id % 4
+                        WHEN 0 THEN epoch(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S'))
+                        WHEN 1 THEN epoch(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))
+                        WHEN 2 THEN epoch(strptime(strftime(ts, '%Y-%m-%d'), '%Y-%m-%d'))
+                        ELSE epoch(strptime(strftime(ts, '%d.%m.%Y'), '%d.%m.%Y'))
+                   END::BIGINT AS epoch
+            FROM events ORDER BY event_id
         """,
         "q_record_merge": """
             SELECT user_id, event_type, min(event_id) AS first_event_id,

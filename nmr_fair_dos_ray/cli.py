@@ -1,0 +1,127 @@
+"""Command-line entry points, ``ray job submit``-compatible.
+
+Engine analog of the reference's Typer CLI
+(reference: src/nmr_FAIR_DOs/cli.py:48-106 — `createAllAvailable` harvests and
+`buildElastic` (re)builds the external search index). Here the index build IS
+the engine, so the commands are::
+
+    python -m nmr_fair_dos_ray build  --corpus DIR_OR_GLOB --index DIR \
+        [--num-shards N] [--no-resume] [--tokenizer code|simple] \
+        [--field-cols repo,path,lang] [--token-cols path,lang] \
+        [--stored-cols repo,path,commit,lang]
+    python -m nmr_fair_dos_ray search --index DIR --query "..." [-k 10] \
+        [--algorithm bmw|taat]
+    python -m nmr_fair_dos_ray stats  --index DIR
+
+On a cluster: ``ray job submit --working-dir . -- python -m nmr_fair_dos_ray
+build --corpus s3://…`` — the script initialises Ray from the job's address
+(`RAY_ADDRESS`), falling back to a local session. These are the only places
+outside bench.py/tests that own a Ray session (guarded, per driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, logging_level="ERROR")
+
+
+def _cols(s: str | None) -> tuple[str, ...]:
+    return tuple(c for c in (s or "").split(",") if c)
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+
+    _ensure_ray()
+    cfg = IndexConfig(
+        content_col=args.content_col,
+        id_col=args.id_col,
+        token_cols=_cols(args.token_cols),
+        field_cols=_cols(args.field_cols),
+        stored_cols=_cols(args.stored_cols),
+        tokenizer_mode=args.tokenizer,
+        num_shards=args.num_shards,
+    )
+    t0 = time.time()
+    man = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
+    out = {
+        "index": args.index,
+        "n_docs": man["stats"]["n_docs"],
+        "n_postings": man["stats"]["n_postings"],
+        "avgdl": round(man["stats"]["avgdl"], 4),
+        "wall_sec": round(time.time() - t0, 3),
+        "stages": {
+            k: round(v.get("wall_sec", 0), 3) for k, v in man["stages"].items()
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+
+    s = Searcher(IndexReader(args.index))
+    hits = s.search(args.query, k=args.k, algorithm=args.algorithm)
+    print(json.dumps(
+        {"query": args.query,
+         "hits": [{"rank": i + 1, "doc_id": d, "score": sc}
+                  for i, (d, sc) in enumerate(hits)]}
+    ))
+    return 0
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    from nmr_fair_dos_ray.search.engine import IndexReader
+
+    r = IndexReader(args.index)
+    print(json.dumps(
+        {"n_docs": r.n_docs, "avgdl": round(r.avgdl, 4),
+         "n_terms": len(r.terms), "k1": r.k1, "b": r.b}
+    ))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="nmr_fair_dos_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index from a Parquet corpus")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--num-shards", type=int, default=32)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--tokenizer", choices=("code", "simple"), default="code")
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--token-cols", default="path,lang")
+    b.add_argument("--field-cols", default="repo,path,lang")
+    b.add_argument("--stored-cols", default="repo,path,commit,lang")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 top-k over a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--algorithm", choices=("bmw", "taat"), default="bmw")
+    s.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("stats", help="print index stats")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -274,6 +274,8 @@ class Phase1Invert:
             "work_item_id": wi,
             "path": item["path"],
             "row_group": int(item["row_group"]),
+            "row_offset": int(item.get("row_offset", 0)),
+            "doc_id_base": int(item["doc_id_base"]),
             "n_docs": int(n),
             "doc_min": int(doc_ids.min()) if n else 0,
             "doc_max": int(doc_ids.max()) if n else -1,
@@ -285,6 +287,13 @@ class Phase1Invert:
             "bytes": int(os.path.getsize(run_path) + os.path.getsize(docs_path)),
             "wall_sec": time.time() - t0,
         }
+
+
+def _clear_dir(d: str) -> None:
+    """Remove stale stage outputs (they are all rebuilt by the next pass)."""
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
 
 
 def _cap_arrow_threads(n: int = 2) -> None:
@@ -417,12 +426,43 @@ def build_index(
     man = Manifest(index_dir)
 
     cfg_json = json.dumps(cfg.to_dict(), sort_keys=True)
-    stale = (
-        man.data.get("input_fingerprint") not in (None, fp)
-        or (man.data.get("config") and json.dumps(man.data["config"], sort_keys=True) != cfg_json)
+    cfg_changed = (
+        man.data.get("config")
+        and json.dumps(man.data["config"], sort_keys=True) != cfg_json
     )
-    if stale or not resume:
+    fp_changed = man.data.get("input_fingerprint") not in (None, fp)
+    if not resume or cfg_changed:
         man.data = {"config": cfg.to_dict(), "stages": {}, "stats": {}}
+        _clear_dir(shards_dir)
+        _clear_dir(os.path.join(index_dir, "hotparts"))
+    elif fp_changed:
+        # Incremental append (reference analog: per-doc ES index call K1 —
+        # "incremental add = append partition + delta-merge", SURVEY.md §2.2):
+        # keep every invert partition whose identity (path, row group, slice,
+        # docID base) is unchanged under the new work-item list — true for
+        # all existing partitions when files are only ADDED after them in
+        # sort order — and re-run only the merge stages over old + new runs.
+        # A file inserted mid-order shifts docID bases, so nothing matches
+        # and the build correctly degrades to a full rebuild.
+        old_parts = man.partitions("invert")
+        keep: dict = {}
+        for wi_str, row in old_parts.items():
+            wi = int(wi_str)
+            if wi >= len(items):
+                continue
+            it = items[wi]
+            if (
+                row.get("path") == it["path"]
+                and row.get("row_group") == it["row_group"]
+                and row.get("row_offset", 0) == it["row_offset"]
+                and row.get("doc_id_base") == it["doc_id_base"]
+                and row.get("n_docs") == it["num_rows"]
+            ):
+                keep[wi_str] = row
+        man.data["stages"] = {"invert": {"partitions": keep}}
+        man.data["stats"] = {}
+        _clear_dir(shards_dir)
+        _clear_dir(os.path.join(index_dir, "hotparts"))
     man.data["config"] = cfg.to_dict()
     man.data["input_fingerprint"] = fp
     man.save()
@@ -452,7 +492,8 @@ def build_index(
         for r in results:
             man.mark_partition("invert", r["work_item_id"], **{
                 k: r[k] for k in
-                ("n_docs", "doc_min", "doc_max", "sum_doclen", "n_postings",
+                ("path", "row_group", "row_offset", "doc_id_base",
+                 "n_docs", "doc_min", "doc_max", "sum_doclen", "n_postings",
                  "run_path", "docs_path", "df_path", "bytes", "wall_sec")
             })
         man.save()

@@ -230,3 +230,77 @@ def q_bidirectional_edges(sf_dir: str) -> pd.DataFrame:
     deg = dedup.groupby("src").aggregate(Count(alias_name="n_out"))
     top = deg.sort(["n_out", "src"], descending=[True, False]).limit(20)
     return top.to_pandas()
+
+
+def q_session_windows(sf_dir: str) -> pd.DataFrame:
+    """Gap-based session windows over the event stream (30-minute gap).
+
+    The streaming-window custom operator the reference lacks (SURVEY.md
+    §2.10: the reference is batch-only; its closest analog is the
+    incremental-harvest time window, src/nmr_FAIR_DOs/lib.py:426-440).
+    Composition: ``groupby(user_id).map_groups`` with an in-group sort —
+    sessionization needs the user's full ordered history, so the partitioning
+    assumption is "one user's events fit one task", which holds at any corpus
+    scale because groups shard by user hash.
+    """
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g = g.assign(session_idx=new.cumsum() - 1)
+        out = g.groupby("session_idx").agg(
+            first_event_id=("event_id", "min"),
+            n_events=("event_id", "count"),
+            sum_value=("value", "sum"),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["sum_value"] = out["sum_value"].map(lambda v: round_half_away(v, 2))
+        return out
+
+    res = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        res.to_pandas()
+        .astype({"session_idx": "int64", "n_events": "int64"})
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def q_date_parse(sf_dir: str) -> pd.DataFrame:
+    """parseDateTime cascade parity (reference: src/nmr_FAIR_DOs/utils.py:170-211
+    — ISO-8601 first, then fallback strptime formats, else error).
+
+    Events' timestamps are deterministically rendered into four string
+    formats by event_id, re-parsed through the cascade, and returned as epoch
+    seconds — the oracle renders/parses with the equivalent SQL strftime/
+    strptime per format, so a cascade bug breaks the value hash.
+    """
+    from nmr_fair_dos_ray.functions.scalar import parse_datetime
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    fmts = ["%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%d.%m.%Y"]
+
+    from datetime import timezone
+
+    def render_parse(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_pylist()
+        tss = b["ts"].to_pandas()
+        rendered, parsed = [], []
+        for eid, ts in zip(ids, tss):
+            f = fmts[eid % 4]
+            s = ts.strftime(f)
+            rendered.append(s)
+            # pin UTC: naive datetime.timestamp() would use the host tz
+            parsed.append(
+                int(parse_datetime(s).replace(tzinfo=timezone.utc).timestamp())
+            )
+        return pa.table(
+            {"event_id": pa.array(ids, pa.int64()),
+             "rendered": pa.array(rendered, pa.string()),
+             "epoch": pa.array(parsed, pa.int64())}
+        )
+
+    df = ev.map_batches(render_parse, batch_format="pyarrow").to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)

@@ -1,0 +1,46 @@
+"""Term-sharded scatter-gather serving must be bit-identical to local search
+and actually partition the index across the actor pool."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from nmr_fair_dos_ray.search.distributed import ShardedSearcher
+from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+
+
+@pytest.fixture(scope="module")
+def sharded(sf_unit):
+    import shutil
+
+    from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+
+    idx = "/tmp/nmr_fair_dos_ray/test_index_sharded"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = IndexConfig(
+        token_cols=("path", "lang"), field_cols=("repo", "path", "lang"),
+        stored_cols=("repo",), num_shards=8,
+        salt_hot_terms=True, hot_df_threshold=8, n_salts=2,
+    )
+    build_index(sf_unit["corpus"], idx, cfg)
+    s = ShardedSearcher(idx, pool_size=3)
+    yield s, idx, sf_unit
+    s.shutdown()
+
+
+def test_results_identical_to_local(sharded):
+    s, idx, sf = sharded
+    local = Searcher(IndexReader(idx))
+    queries = [r["query"] for r in pq.read_table(sf["queries"]).to_pylist()]
+    for q in queries:
+        assert s.search(q, k=10) == local.search(q, k=10, algorithm="bmw"), q
+
+
+def test_index_is_partitioned_not_replicated(sharded):
+    s, idx, _ = sharded
+    counts = ray.get([a.term_count.remote() for a in s.actors])
+    # partitioned: the actors' disjoint slices add up to the full inventory,
+    # and no single actor holds everything
+    assert sum(counts) == len(IndexReader(idx).terms)
+    assert max(counts) < sum(counts)
