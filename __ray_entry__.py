@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_windows": rel.q_session_windows,
         "q_date_parse": rel.q_date_parse,
         "q_record_merge": rel.q_record_merge,
+        "q_json_extract": rel.q_json_extract,
         "q_biggest_record": rel.q_biggest_record,
         "q_most_event_types": rel.q_most_event_types,
         "q_twokey_resolve": rel.q_twokey_resolve,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_sample": dp.q_simhash_sample,
         "q_fingerprints": dp.q_fingerprints,
         "q_pid_mint": dp.q_pid_mint,
+        "q_embed_neardup": dp.q_embed_neardup,
         # similarity search
         "q_ann_top5": dp.q_ann_top5,
         "q_ivf_overlap": dp.q_ivf_overlap,
@@ -167,6 +169,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM events GROUP BY user_id, event_type
             ORDER BY user_id, event_type
+        """,
+        "q_json_extract": """
+            SELECT COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, -1)
+                       AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY bucket ORDER BY bucket
         """,
         "q_biggest_record": """
             SELECT user_id, count(*) AS n_events FROM events
@@ -273,6 +281,15 @@ def oracle_sql() -> dict[str, str]:
                    base64(encode('doc:' || source || '/' || doc_id)) AS pid,
                    TRUE AS roundtrip_ok
             FROM documents ORDER BY doc_id
+        """,
+        "q_embed_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.45
+            ORDER BY a, b
         """,
         "q_ann_top5": """
             WITH q AS (

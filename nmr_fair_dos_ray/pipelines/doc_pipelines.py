@@ -279,6 +279,52 @@ def q_ivf_overlap(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+EMBED_NEARDUP_TAU = 0.45  # driver embeddings have no true dups (max pairwise
+# cosine ≈ 0.51), so the threshold sits below that to exercise the operator
+
+
+def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ τ, a < b).
+
+    The embedding-space member of the dedup family (exact / MinHash-LSH /
+    SimHash / n-gram Jaccard / cosine). Baseline path: batches of vectors
+    score against a broadcast normalized matrix (numpy matmul) — each batch
+    emits only its above-threshold pairs, so the full N² similarity matrix is
+    never materialized; the IVF-bucketed variant (pipelines/ann.py) is the
+    scale path.
+    """
+    from nmr_fair_dos_ray.pipelines.ann import _batch_matrix, _normalize
+
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    all_ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    mat = _normalize(_batch_matrix(emb, "embedding"))
+    import ray as _ray
+
+    ref = _ray.put((all_ids, mat))
+
+    class NearDup:
+        def __init__(self):
+            self.ids, self.mat = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            m = _normalize(_batch_matrix(b, "embedding"))
+            sims = m @ self.mat.T
+            rows, cols = np.nonzero(sims >= EMBED_NEARDUP_TAU)
+            a = ids[rows]; bb = self.ids[cols]
+            keep = a < bb
+            cos = [round_half_away(v, 4) for v in sims[rows, cols][keep]]
+            return pa.table(
+                {"a": pa.array(a[keep], pa.int64()),
+                 "b": pa.array(bb[keep], pa.int64()),
+                 "cosine": pa.array(cos, pa.float64())}
+            )
+
+    vecs = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = vecs.map_batches(NearDup, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_pid_mint(sf_dir: str) -> pd.DataFrame:
     """PID minting as the reference does it: base64 of a cleartext identifier
     (reference: src/nmr_FAIR_DOs/utils.py:130-167 encodeInBase64, used at

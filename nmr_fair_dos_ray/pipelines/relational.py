@@ -304,3 +304,41 @@ def q_date_parse(sf_dir: str) -> pd.DataFrame:
 
     df = ev.map_batches(render_parse, batch_format="pyarrow").to_pandas()
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+def q_json_extract(sf_dir: str) -> pd.DataFrame:
+    """JSON value extraction with the reference's parse-attempt semantics
+    (reference: src/nmr_FAIR_DOs/domain/pid_record_entry.py:69-78 — string
+    values are eagerly json.loads-ed, kept as-is on failure) plus the
+    validity-guard dead-letter pattern (M17, e.g. src/nmr_FAIR_DOs/
+    repositories/nmrxiv.py:122-153): rows whose payload parses contribute an
+    extracted value; failures are counted, never dropped silently.
+    Rollup: per extracted-k bucket (k % 10), count + share of parse failures.
+    """
+    import json as _json
+
+    from nmr_fair_dos_ray.functions.scalar import try_parse_json
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        buckets, ok = [], []
+        for s in b["props"].to_pylist():
+            v = try_parse_json(s)
+            if isinstance(v, dict) and isinstance(v.get("k"), int):
+                buckets.append(v["k"] % 10)
+                ok.append(True)
+            else:
+                buckets.append(-1)  # dead-letter bucket
+                ok.append(False)
+        return pa.table(
+            {"bucket": pa.array(buckets, pa.int64()),
+             "parsed": pa.array(ok, pa.bool_())}
+        )
+
+    agg = (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    return agg.to_pandas().sort_values("bucket").reset_index(drop=True)
