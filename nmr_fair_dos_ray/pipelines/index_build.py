@@ -660,6 +660,23 @@ def build_index(
             "hotmerge", status="done", n_hot=int(hot_sorted.size),
             path=out_path, wall_sec=time.time() - t2,
         )
+    # size/compression metrics: final searchable footprint vs posting volume
+    def _dir_bytes(d: str) -> int:
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(d, p))
+            for p in os.listdir(d) if p.endswith(".parquet")
+        )
+
+    shards_bytes = _dir_bytes(shards_dir)
+    n_postings = man.data["stats"].get("n_postings", 0)
+    man.data["stats"]["shards_bytes"] = shards_bytes
+    man.data["stats"]["docs_bytes"] = _dir_bytes(docs_dir)
+    man.data["stats"]["runs_bytes"] = _dir_bytes(runs_dir)
+    man.data["stats"]["bytes_per_posting"] = (
+        round(shards_bytes / n_postings, 3) if n_postings else 0.0
+    )
     man.data["stats"]["build_wall_sec"] = time.time() - t0
     man.save()
     return man.data
