@@ -44,3 +44,27 @@ def test_index_is_partitioned_not_replicated(sharded):
     # and no single actor holds everything
     assert sum(counts) == len(IndexReader(idx).terms)
     assert max(counts) < sum(counts)
+
+
+def test_query_scorer_shared_state_pool(sharded):
+    """QueryScorer with index_ref (one object-store copy shared by all
+    actors) must equal per-actor directory loads and the local searcher."""
+    import ray.data as rd
+
+    from nmr_fair_dos_ray.search.engine import QueryScorer
+
+    _, idx, sf = sharded
+    reader = IndexReader(idx)
+    ref = ray.put(reader.to_state())
+    queries = [r["query"] for r in pq.read_table(sf["queries"]).to_pylist()][:10]
+    qds = rd.from_items(
+        [{"query_id": i, "query": q, "k": 5} for i, q in enumerate(queries)]
+    )
+    out = qds.map_batches(
+        QueryScorer, fn_constructor_kwargs={"index_ref": ref},
+        concurrency=2, batch_size=4, batch_format="pyarrow",
+    ).take_all()
+    local = Searcher(reader)
+    for i, q in enumerate(queries):
+        got = [(r["doc_id"], r["score"]) for r in out if r["query_id"] == i]
+        assert got == local.search(q, k=5), q
