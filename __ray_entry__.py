@@ -216,7 +216,7 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
                 SELECT doc_id, len({_WS_TOKENS}) AS n FROM documents
             )
-            SELECT count(*) AS n_docs, sum(n) AS total_tokens,
+            SELECT count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
                    round(sum(n) * 1.0 / count(*), 4) AS avgdl
             FROM counts
         """,
@@ -260,7 +260,7 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
                 SELECT lang, len({_WS_TOKENS}) AS n FROM documents
             )
-            SELECT lang, count(*) AS n_docs, sum(n) AS total_tokens
+            SELECT lang, count(*) AS n_docs, sum(n)::BIGINT AS total_tokens
             FROM counts GROUP BY lang ORDER BY lang
         """,
         "q_quality_features": f"""

@@ -235,11 +235,16 @@ def run_scaling() -> dict:
     p28, p832 = pair(2, 8), pair(8, 32)
     return {
         "metric": "scaling_efficiency_Nx4",
-        # headline: the build-throughput scaling at the pair below this VM's
-        # aggregate-memory-bandwidth ceiling (identical tasks cost ~2.5× more
-        # CPU-time each at 32 concurrent workers than at 8 — a hypervisor
-        # artifact absent on real hardware; see BASELINE.md)
-        "scaling_efficiency": p28["build_efficiency"],
+        # Headline keys are explicit about WHICH pair and WHICH stages, so a
+        # consumer can't mistake the favorable pair/stage for the N->4N core
+        # gate. core = index_build + query_pool (build AND serving), per the
+        # north rule. The 8->32 pair sits above this VM's aggregate
+        # memory-bandwidth ceiling (identical tasks cost ~2.5x more CPU-time
+        # each at 32 workers than at 8 — hypervisor artifact, see
+        # BASELINE.md); 2->8 exercises real compute scaling.
+        "scaling_efficiency_2_to_8_core": p28["core_efficiency"],
+        "scaling_efficiency_8_to_32_core": p832["core_efficiency"],
+        "scaling_efficiency_2_to_8_build": p28["build_efficiency"],
         "pair_2_to_8": p28,
         "pair_8_to_32": p832,
         "stages": {n: r["queries"] for n, r in runs.items()},

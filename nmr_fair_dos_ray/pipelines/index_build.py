@@ -435,6 +435,11 @@ def build_index(
         man.data = {"config": cfg.to_dict(), "stages": {}, "stats": {}}
         _clear_dir(shards_dir)
         _clear_dir(os.path.join(index_dir, "hotparts"))
+        # runs/ and docs/ too: IndexReader scans the docs/ DIRECTORY, so a
+        # rebuild onto a smaller corpus must not leave stale docs_NNNNNN
+        # files injecting phantom doc_ids/doclens into every search.
+        _clear_dir(runs_dir)
+        _clear_dir(docs_dir)
     elif fp_changed:
         # Incremental append (reference analog: per-doc ES index call K1 —
         # "incremental add = append partition + delta-merge", SURVEY.md §2.2):
@@ -463,6 +468,20 @@ def build_index(
         man.data["stats"] = {}
         _clear_dir(shards_dir)
         _clear_dir(os.path.join(index_dir, "hotparts"))
+        # prune phase-1 outputs not carried over by ``keep`` (file removed /
+        # shrunk / reordered) — directory-scanning readers must never see
+        # run/docs/sidecar files of abandoned work items
+        keep_files = set()
+        for row in keep.values():
+            for k in ("run_path", "docs_path", "df_path"):
+                if row.get(k):
+                    keep_files.add(os.path.abspath(row[k]))
+        for d in (runs_dir, docs_dir):
+            if os.path.isdir(d):
+                for fn in os.listdir(d):
+                    p = os.path.abspath(os.path.join(d, fn))
+                    if p not in keep_files:
+                        os.remove(p)
     man.data["config"] = cfg.to_dict()
     man.data["input_fingerprint"] = fp
     man.save()
@@ -515,7 +534,10 @@ def build_index(
         "b": cfg.b,
     }
     man.mark_stage("invert", status="done", wall_sec=time.time() - t0)
-    run_paths = sorted(v["run_path"] for v in parts.values())
+    # doc-contiguity of hot run-buckets requires WORK-ITEM order, not path
+    # order: 'run_1000000' sorts lexicographically before 'run_999999', which
+    # would break bucket doc-range disjointness past 10^6 work items
+    run_paths = [parts[k]["run_path"] for k in sorted(parts, key=int)]
 
     # -------- phase 1.5: hot-term detection (salted-repartition prep) -----
     # Cheap: per-block partial df counts (one row per distinct term per run)

@@ -14,6 +14,7 @@ that reduces shuffle volume; groupbys run on the named key columns.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -325,8 +326,12 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
         buckets, ok = [], []
         for s in b["props"].to_pylist():
             v = try_parse_json(s)
-            if isinstance(v, dict) and isinstance(v.get("k"), int):
-                buckets.append(v["k"] % 10)
+            k = v.get("k") if isinstance(v, dict) else None
+            # bool is an int subclass in Python but a non-castable value in
+            # the SQL oracle; DuckDB's % keeps the dividend's sign, Python's
+            # doesn't — use truncated (fmod) modulo to match on negative k
+            if isinstance(k, int) and not isinstance(k, bool):
+                buckets.append(int(math.fmod(k, 10)))
                 ok.append(True)
             else:
                 buckets.append(-1)  # dead-letter bucket

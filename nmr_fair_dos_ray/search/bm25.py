@@ -46,7 +46,10 @@ def bm25_term_scores(
     tf = np.asarray(tfs, dtype=np.float64)
     dl = np.asarray(doclens, dtype=np.float64)
     denom = tf + k1 * (1.0 - b + b * dl / avgdl)
-    return idf * (tf * (k1 + 1.0)) / denom
+    # NOTE: parenthesized so score == idf * tf_norm BIT-exactly — the stored
+    # block-max bound is idf * max_tf_norm (codec.py), and (idf*num)/denom
+    # can land 1 ulp above idf*(num/denom), breaking BMW's <= pruning.
+    return idf * ((tf * (k1 + 1.0)) / denom)
 
 
 def bm25_tf_norm(
@@ -67,4 +70,4 @@ def bm25_tf_norm(
 def bm25_one(tf: int, doclen: int, idf: float, k1: float, b: float, avgdl: float) -> float:
     """Scalar form — identical arithmetic to :func:`bm25_term_scores`."""
     denom = float(tf) + k1 * (1.0 - b + b * float(doclen) / avgdl)
-    return idf * (float(tf) * (k1 + 1.0)) / denom
+    return idf * ((float(tf) * (k1 + 1.0)) / denom)

@@ -68,7 +68,9 @@ def test_block_max_is_true_upper_bound(both_indexes):
             scores = bm25_term_scores(
                 tfs, salted.doclens(docs), idf, salted.k1, salted.b, salted.avgdl
             )
-            assert scores.max() <= blk["max_score"] + 1e-12, term
+            # exact: score == idf * tf_norm bit-identically (bm25.py keeps
+            # the same float64 association as the stored bound)
+            assert scores.max() <= blk["max_score"], term
 
 
 def test_identical_topk(both_indexes):
