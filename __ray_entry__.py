@@ -48,6 +48,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from nmr_fair_dos_ray.pipelines import doc_pipelines as dp
+    from nmr_fair_dos_ray.pipelines import extract as ex
     from nmr_fair_dos_ray.pipelines import relational as rel
 
     return {
@@ -84,6 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_overlap": dp.q_ivf_overlap,
         # multimodal plumbing (stubbed decode kernel)
         "q_image_pipeline": dp.q_image_pipeline,
+        # M1-M11 extraction pipeline (JSON envelopes -> long format)
+        "q_extract_entries": ex.q_extract_entries,
+        "q_extract_edges": ex.q_extract_edges,
+        "q_extract_errors": ex.q_extract_errors,
+        "q_extract_resolved": ex.q_extract_resolved,
+        "q_repo_fdo": ex.q_repo_fdo,
     }
 
 
@@ -92,7 +99,14 @@ _WS_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
+    from nmr_fair_dos_ray import oracle_extract as ox
+
     return {
+        "q_extract_entries": ox.ENTRIES_SQL,
+        "q_extract_edges": ox.EDGES_SQL,
+        "q_extract_errors": ox.ERRORS_SQL,
+        "q_extract_resolved": ox.RESOLVED_SQL,
+        "q_repo_fdo": ox.REPO_FDO_SQL,
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
