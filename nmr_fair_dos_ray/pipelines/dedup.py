@@ -34,17 +34,34 @@ from nmr_fair_dos_ray.tokenizer import Tokenizer
 MINHASH_PERMS = 128
 LSH_BANDS = 32  # 32 bands × 4 rows
 _MERSENNE = np.uint64((1 << 61) - 1)
+# NOTE: a Mersenne high-bit fold ((x>>61)+(x&M), exact since 2^61 ≡ 1 mod M)
+# was benchmarked against numpy's scalar %: the fold's extra temporaries lose
+# on this memory-bandwidth-starved VM (0.16s vs 0.05s per 12.8M elems) — keep %.
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """FNV-1a of each token (scalar python; tokens are short)."""
-    out = np.empty(len(tokens), np.uint64)
-    for i, t in enumerate(tokens):
-        h = 0xCBF29CE484222325
-        for byte in t.encode("utf-8"):
-            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
+    """FNV-1a of each token — delegates to the tokenizer's byte-position-
+    vectorized implementation (identical values, ~100x faster than the
+    per-byte Python loop it replaces; VERDICT round-1 item 4)."""
+    from nmr_fair_dos_ray.tokenizer import term_hash
+
+    if not tokens:
+        return np.empty(0, np.uint64)
+    return term_hash(tokens)
+
+
+def _combine_windows(h: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """FNV-combine ``width`` consecutive token hashes per window start
+    (vectorized over windows: ``width`` passes, never per-token Python)."""
+    acc = np.full(starts.size, _FNV_OFFSET)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            acc = (acc ^ h[starts + j]) * _FNV_PRIME
+    return acc
 
 
 def _perm_params(n_perms: int = MINHASH_PERMS) -> tuple[np.ndarray, np.ndarray]:
@@ -55,14 +72,20 @@ def _perm_params(n_perms: int = MINHASH_PERMS) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_hashes(text: str, n: int = 3, tokenizer: Tokenizer | None = None) -> np.ndarray:
-    """Hashes of word n-gram shingles (simple-mode tokens)."""
+    """Hashes of word n-gram shingles (simple-mode tokens).
+
+    Shingle hash = FNV-combine of the n token hashes (no gram-string
+    construction); docs shorter than ``n`` tokens combine what they have.
+    Scalar form of the batch path in :class:`MinHashStage` (kept identical —
+    tested)."""
     tok = tokenizer or Tokenizer("simple")
     toks = tok.tokenize(text or "")
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.unique(_hash_tokens(grams)) if grams else np.empty(0, np.uint64)
+    if not toks:
+        return np.empty(0, np.uint64)
+    h = _hash_tokens(toks)
+    width = min(n, h.size)
+    starts = np.arange(h.size - width + 1, dtype=np.int64)
+    return np.unique(_combine_windows(h, starts, width))
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -98,7 +121,46 @@ def simhash64(text: str, tokenizer: Tokenizer | None = None) -> int:
     hashes = _hash_tokens(toks)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     score = (2 * bits - 1).sum(axis=0)
-    return int("".join("1" if s > 0 else "0" for s in score[::-1]), 2)
+    # pack bit j = (score[j] > 0) — numerically identical to the old
+    # binary-string build, without the per-bit Python
+    packed = ((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+    return int(packed)
+
+
+class SimHashStage:
+    """Batch-vectorized SimHash: one tokenizer pass per batch, sign-sums via
+    ``np.add.reduceat`` over doc boundaries — no per-doc Python. Identical
+    values to :func:`simhash64` (tested)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.tok = Tokenizer("simple")
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        rows, terms = self.tok.batch_token_rows(batch[self.text_col])
+        out = np.zeros(n, np.uint64)
+        if len(terms):
+            h = _hash_tokens(terms)
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+            signs = 2 * bits - 1  # (n_tokens, 64)
+            # rows is non-decreasing; docs with zero tokens stay all-zero
+            present, starts = np.unique(rows, return_index=True)
+            sums = np.add.reduceat(signs, starts, axis=0)  # (n_present, 64)
+            packed = ((sums > 0).astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+            out[present] = packed
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "simhash": pa.array(
+                    (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                ),
+            }
+        )
 
 
 def hamming64(a: int, b: int) -> int:
@@ -106,11 +168,90 @@ def hamming64(a: int, b: int) -> int:
 
 
 # ------------------------------------------------------------ dataset ops --
+#: cap on perms × shingles elements per signature chunk. Small on purpose:
+#: this VM first-touches fresh pages at ~70 MB/s, so the (n_perms, chunk)
+#: temporary must stay hot in reused-page territory (~8 MB), not realloc
+#: hundreds of MB per batch.
+_SIG_CHUNK_ELEMS = 1 << 20
+
+
+def batch_signatures(
+    texts, tok: Tokenizer, a: np.ndarray, b: np.ndarray, n_shingle: int = 3
+) -> np.ndarray:
+    """(n_docs, n_perms) minhash signatures for a column of texts — one
+    tokenizer pass, byte-vectorized token hashing, window-combined shingles,
+    and chunked ``minimum.reduceat`` signature mins. Per-doc identical to
+    ``minhash_signature(shingle_hashes(text))`` (tested)."""
+    n = len(texts)
+    rows, terms = tok.batch_token_rows(texts)
+    n_perms = a.size
+    sigs = np.full((n, n_perms), np.uint64(0xFFFFFFFFFFFFFFFF))
+    if len(terms) == 0:
+        return sigs
+    h = _hash_tokens(terms)
+    counts = np.zeros(n, np.int64)
+    np.add.at(counts, rows, 1)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # full windows for docs with >= n_shingle tokens (vectorized);
+    # shorter docs combine all their tokens (one window of width c)
+    shingle_doc: list[np.ndarray] = []
+    shingle_val: list[np.ndarray] = []
+    full = np.flatnonzero(counts >= n_shingle)
+    if full.size:
+        w = counts[full] - n_shingle + 1
+        win_starts = np.repeat(starts[full], w) + (
+            np.arange(int(w.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(w)[:-1]]), w)
+        )
+        shingle_val.append(_combine_windows(h, win_starts, n_shingle))
+        shingle_doc.append(np.repeat(full, w))
+    for width in range(1, n_shingle):  # short docs: one pass per width
+        short = np.flatnonzero(counts == width)
+        if short.size:
+            shingle_val.append(_combine_windows(h, starts[short], width))
+            shingle_doc.append(short)
+    sh = np.concatenate(shingle_val)
+    doc_of = np.concatenate(shingle_doc)
+    order = np.argsort(doc_of, kind="stable")
+    sh, doc_of = sh[order], doc_of[order]
+    # chunk over docs so perms × chunk_shingles stays bounded
+    present, doc_starts = np.unique(doc_of, return_index=True)
+    doc_ends = np.concatenate([doc_starts[1:], [sh.size]])
+    max_sh = max(1, _SIG_CHUNK_ELEMS // n_perms)
+    i = 0
+    while i < present.size:
+        j = i
+        while j < present.size and int(doc_ends[j] - doc_starts[i]) <= max_sh:
+            j += 1
+        j = max(j, i + 1)  # a single huge doc still processes (one chunk)
+        lo, hi = int(doc_starts[i]), int(doc_ends[j - 1])
+        with np.errstate(over="ignore"):
+            vals = (sh[None, lo:hi] * a[:, None] + b[:, None]) % _MERSENNE
+        mins = np.minimum.reduceat(vals, doc_starts[i:j] - lo, axis=1)
+        sigs[present[i:j]] = mins.T.astype(np.uint64)
+        i = j
+    return sigs
+
+
+def band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, LSH_BANDS) FNV hash of each band's signature rows —
+    vectorized over docs×bands (rows_per_band passes)."""
+    n = sigs.shape[0]
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    chunks = sigs.reshape(n, LSH_BANDS, rows_per_band)
+    acc = np.full((n, LSH_BANDS), _FNV_OFFSET)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            acc = (acc ^ chunks[:, :, j]) * _FNV_PRIME
+    return acc & np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
 class MinHashStage:
     """Actor-pool stage: text → (doc_id, minhash signature, band rows).
 
-    Permutation parameters build once per actor; per batch everything is
-    numpy. Emits LSH band rows ``(doc_id, band_id, band_hash)``.
+    Permutation parameters build once per actor; the whole batch is
+    vectorized end-to-end (tokenize → hash → shingle → sign → band) with no
+    per-doc Python. Emits LSH band rows ``(doc_id, band_id, band_hash)``.
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
@@ -122,33 +263,27 @@ class MinHashStage:
         self.n_shingle = n_shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        rows_per_band = MINHASH_PERMS // LSH_BANDS
-        out_doc, out_band, out_bhash, out_sig = [], [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = minhash_signature(
-                shingle_hashes(text, self.n_shingle, self.tok), self.a, self.b
-            )
-            for band in range(LSH_BANDS):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                h = 0xCBF29CE484222325
-                for v in chunk:
-                    h = ((h ^ int(v)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_bhash.append(h & 0x7FFFFFFFFFFFFFFF)
-            out_sig.append(sig)
-        sig_list = pa.array(
-            [s.astype(np.int64).tolist() for s in out_sig], pa.list_(pa.int64())
+        n = batch.num_rows
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = batch_signatures(
+            batch[self.text_col], self.tok, self.a, self.b, self.n_shingle
         )
-        n = len(ids)
+        bhash = band_hashes(sigs)
+        sig_list = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, (n + 1) * MINHASH_PERMS, MINHASH_PERMS, dtype=np.int32)
+            ),
+            pa.array(sigs.reshape(-1).view(np.int64)),
+        )
+        rep = pa.array(np.repeat(np.arange(n), LSH_BANDS))
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bhash, pa.int64()),
-                "sig": sig_list.take(pa.array(np.repeat(np.arange(n), LSH_BANDS))),
+                "doc_id": pa.array(np.repeat(ids, LSH_BANDS).astype(np.int64)),
+                "band_id": pa.array(
+                    np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bhash.reshape(-1).view(np.int64)),
+                "sig": sig_list.take(rep),
             }
         )
 
@@ -187,10 +322,92 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
     return cand.groupby(["a", "b"]).aggregate(Max("sig_jaccard", alias_name="sig_jaccard"))
 
 
+def near_dup_components_ds(
+    pairs: Dataset,
+    threshold: float = 0.8,
+    max_rounds: int = 25,
+    num_partitions: int = 8,
+) -> Dataset:
+    """doc_id → component label as a DATASET — min-label propagation with no
+    driver-side graph (VERDICT round-1 item 5; the driver dict version below
+    remains the small-input fast path).
+
+    Per round: one hash join (directed edges ⋈ labels on dst) pushes each
+    neighbor's label to the source, a groupby-min folds them with the node's
+    own label, and a join against the previous labels counts changes for the
+    convergence check. Rounds = component diameter; near-dup components are
+    shallow (dup clusters), so this converges in a handful of rounds while
+    everything — edges, labels, messages — stays in Dataset land and spills
+    through the object store at scale.
+    """
+    edges = pairs.map_batches(
+        lambda b: b.filter(
+            pa.compute.greater_equal(b["sig_jaccard"], threshold)
+        ).select(["a", "b"]),
+        batch_format="pyarrow",
+    )
+
+    def directed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [b["a"].combine_chunks().cast(pa.int64()),
+                     b["b"].combine_chunks().cast(pa.int64())]
+                ),
+                "dst": pa.concat_arrays(
+                    [b["b"].combine_chunks().cast(pa.int64()),
+                     b["a"].combine_chunks().cast(pa.int64())]
+                ),
+            }
+        )
+
+    dir_edges = edges.map_batches(directed, batch_format="pyarrow").materialize()
+    labels = (
+        dir_edges.groupby("src")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["src"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        msgs = dir_edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("dst",), right_on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["src"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        own = labels
+        new_labels = (
+            msgs.union(own)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda b: pa.table({"node": b["node"], "old": b["label"]}),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner", num_partitions=num_partitions, on=("node",),
+            )
+            .filter(expr="label != old")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def near_dup_components(pairs: Dataset, threshold: float = 0.8,
                         max_rounds: int = 10) -> dict[int, int]:
     """doc_id → component representative (min doc_id), via min-label
-    propagation over the (small) candidate-pair graph; driver-side dict out.
+    propagation over the candidate-pair graph; driver-side dict out (small
+    inputs/tests — :func:`near_dup_components_ds` is the distributed path).
     """
     df = pairs.to_pandas()
     df = df[df["sig_jaccard"] >= threshold]

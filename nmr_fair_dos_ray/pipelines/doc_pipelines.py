@@ -207,19 +207,12 @@ def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
 
 def q_simhash_sample(sf_dir: str) -> pd.DataFrame:
     """64-bit SimHash per doc (first 200 docs; rows-only oracle)."""
-    from nmr_fair_dos_ray.pipelines.dedup import simhash64
+    from nmr_fair_dos_ray.pipelines.dedup import SimHashStage
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    class Stage:
-        def __init__(self):
-            self.tok = Tokenizer("simple")
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            out = [simhash64(t, self.tok) & 0x7FFFFFFFFFFFFFFF for t in b["text"].to_pylist()]
-            return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(out, pa.int64())})
-
-    res = docs.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    res = docs.map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
+    ).to_pandas()
     return res.sort_values("doc_id").head(200).reset_index(drop=True)
 
 
@@ -287,41 +280,17 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ τ, a < b).
 
     The embedding-space member of the dedup family (exact / MinHash-LSH /
-    SimHash / n-gram Jaccard / cosine). Baseline path: batches of vectors
-    score against a broadcast normalized matrix (numpy matmul) — each batch
-    emits only its above-threshold pairs, so the full N² similarity matrix is
-    never materialized; the IVF-bucketed variant (pipelines/ann.py) is the
-    scale path.
+    SimHash / n-gram Jaccard / cosine). IVF-bucketed: margin multi-probe
+    centroid assignment co-locates every qualifying pair in ≥1 shared
+    cluster (proof in ann.IVFMultiAssign), exact float64 kernel only inside
+    buckets — no full-matrix broadcast, no driver read of the vectors, still
+    bit-equal to the all-pairs SQL oracle.
     """
-    from nmr_fair_dos_ray.pipelines.ann import _batch_matrix, _normalize
-
-    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    all_ids = emb["vec_id"].to_numpy(zero_copy_only=False)
-    mat = _normalize(_batch_matrix(emb, "embedding"))
-    import ray as _ray
-
-    ref = _ray.put((all_ids, mat))
-
-    class NearDup:
-        def __init__(self):
-            self.ids, self.mat = _ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b["vec_id"].to_numpy(zero_copy_only=False)
-            m = _normalize(_batch_matrix(b, "embedding"))
-            sims = m @ self.mat.T
-            rows, cols = np.nonzero(sims >= EMBED_NEARDUP_TAU)
-            a = ids[rows]; bb = self.ids[cols]
-            keep = a < bb
-            cos = [round_half_away(v, 4) for v in sims[rows, cols][keep]]
-            return pa.table(
-                {"a": pa.array(a[keep], pa.int64()),
-                 "b": pa.array(bb[keep], pa.int64()),
-                 "cosine": pa.array(cos, pa.float64())}
-            )
+    from nmr_fair_dos_ray.pipelines.ann import embed_neardup_pairs
 
     vecs = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    df = vecs.map_batches(NearDup, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    pairs = embed_neardup_pairs(vecs, tau=EMBED_NEARDUP_TAU, n_clusters=8)
+    df = pairs.to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 

@@ -147,3 +147,119 @@ def test_ivf_recall_reasonable():
         v = set(ivf[ivf["query_id"] == qi]["vec_id"])
         recalls.append(len(b & v) / 5)
     assert np.mean(recalls) >= 0.6  # clustered data, 3/8 probes
+
+
+def test_embed_neardup_ivf_exact_and_bucketed():
+    """Margin multi-probe IVF near-dup: identical pair set to brute force at
+    a realistic tau, with per-cluster candidate volume << N^2 (VERDICT #3)."""
+    from nmr_fair_dos_ray.pipelines.ann import (
+        IVFMultiAssign, embed_neardup_pairs, kmeans_fit,
+    )
+
+    rng = np.random.RandomState(11)
+    # 40 well-separated bases, each with 1-3 small-perturbation near-dups
+    bases = rng.randn(40, 24) * 3
+    vecs, groups = [], []
+    for gi, b in enumerate(bases):
+        n = 1 + gi % 3
+        for _ in range(n + 1):
+            vecs.append(b + rng.randn(24) * 0.05)
+            groups.append(gi)
+    vecs = np.asarray(vecs, np.float64)
+    n = len(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    tau = 0.9
+    got = (
+        embed_neardup_pairs(rd.from_arrow(t), tau=tau, n_clusters=32, round_to=None)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # brute-force expectation (float32 storage round-trip like the pipeline)
+    m = vecs.astype(np.float32).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu, ju = np.triu_indices(n, k=1)
+    keep = sims[iu, ju] >= tau
+    exp = sorted(zip(iu[keep].tolist(), ju[keep].tolist()))
+    assert len(exp) > 10  # the synthetic corpus really has near-dups
+    assert list(zip(got["a"], got["b"])) == exp
+    # bucketing: spill assignment stays far below all-pairs volume
+    # cluster count ~ natural group count keeps spill small (margin rule
+    # assigns to centroids within best+acos(tau); tight clusters → few spills)
+    centroids = kmeans_fit(vecs.astype(np.float32), 32)
+    import ray as _ray
+
+    stage = IVFMultiAssign(_ray.put(centroids), tau=tau)
+    assigned = stage(t).to_pandas()
+    per_cluster = assigned.groupby("cluster_id").size()
+    candidate_pairs = int((per_cluster * (per_cluster - 1) // 2).sum())
+    assert candidate_pairs < (n * (n - 1) // 2) * 0.25, candidate_pairs
+
+
+def test_near_dup_components_ds_matches_driver():
+    """Dataset-native min-label propagation over a multi-block pair graph
+    must match the driver union-find exactly (VERDICT #5)."""
+    from nmr_fair_dos_ray.pipelines.dedup import (
+        near_dup_components, near_dup_components_ds,
+    )
+
+    rng = np.random.RandomState(3)
+    # 120 components of size 2-6: chain edges + a few extras, shuffled
+    pairs, nid = [], 0
+    for _ in range(120):
+        size = int(rng.randint(2, 7))
+        nodes = list(range(nid, nid + size))
+        nid += size + 3  # gaps so labels aren't trivially contiguous
+        for u, v in zip(nodes, nodes[1:]):
+            pairs.append((u, v))
+        if size > 3:
+            pairs.append((nodes[0], nodes[-1]))
+    rng.shuffle(pairs)
+    t = pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+            "sig_jaccard": pa.array([1.0] * len(pairs), pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)  # force the graph across blocks
+    expected = near_dup_components(rd.from_arrow(t), threshold=0.8)
+    got = near_dup_components_ds(ds, threshold=0.8).to_pandas()
+    got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+    assert got_map == expected
+
+
+def test_batch_kernels_match_scalar():
+    """Vectorized batch paths are value-identical to their scalar forms."""
+    from nmr_fair_dos_ray.pipelines.dedup import (
+        SimHashStage, _perm_params, batch_signatures, minhash_signature,
+        shingle_hashes, simhash64,
+    )
+    from nmr_fair_dos_ray.pipelines.textops import (
+        FingerprintStage, rolling_fingerprint,
+    )
+    from nmr_fair_dos_ray.tokenizer import Tokenizer
+
+    tok = Tokenizer("simple")
+    texts = [
+        "", "one", "one two", "one two three",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "dup dup dup dup dup dup dup dup dup",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    a, b = _perm_params()
+    sigs = batch_signatures(t["text"], tok, a, b)
+    for i, x in enumerate(texts):
+        assert (sigs[i] == minhash_signature(shingle_hashes(x, 3, tok), a, b)).all(), i
+    sh = SimHashStage()(t)
+    for i, x in enumerate(texts):
+        assert sh["simhash"][i].as_py() == (simhash64(x, tok) & 0x7FFFFFFFFFFFFFFF), i
+    fp = FingerprintStage()(t)
+    for i, x in enumerate(texts):
+        assert fp["fingerprint"][i].as_py() == rolling_fingerprint(x, tok), i
