@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_date_parse": rel.q_date_parse,
         "q_record_merge": rel.q_record_merge,
         "q_json_extract": rel.q_json_extract,
+        "q_license_normalize": rel.q_license_normalize,
         "q_biggest_record": rel.q_biggest_record,
         "q_most_event_types": rel.q_most_event_types,
         "q_twokey_resolve": rel.q_twokey_resolve,
@@ -189,6 +190,30 @@ def oracle_sql() -> dict[str, str]:
                        AS bucket,
                    count(*) AS n_events
             FROM events GROUP BY bucket ORDER BY bucket
+        """,
+        "q_license_normalize": """
+            WITH r AS (
+                SELECT CASE doc_id % 7
+                    WHEN 0 THEN 'MIT'
+                    WHEN 1 THEN 'mit license'
+                    WHEN 2 THEN 'CC-BY-4.0'
+                    WHEN 3 THEN 'https://creativecommons.org/licenses/by-sa/4.0/legalcode'
+                    WHEN 4 THEN 'http://www.apache.org/licenses/LICENSE-2.0.html'
+                    WHEN 5 THEN 'GNU General Public License v3.0 only'
+                    ELSE 'not-a-license' END AS license_raw,
+                CASE doc_id % 7
+                    WHEN 0 THEN 'https://spdx.org/licenses/MIT.json'
+                    WHEN 1 THEN 'https://spdx.org/licenses/MIT.json'
+                    WHEN 2 THEN 'https://spdx.org/licenses/CC-BY-4.0.json'
+                    WHEN 3 THEN 'https://spdx.org/licenses/CC-BY-SA-4.0.json'
+                    WHEN 4 THEN 'https://spdx.org/licenses/Apache-2.0.json'
+                    WHEN 5 THEN 'https://spdx.org/licenses/GPL-3.0-only.json'
+                    ELSE NULL END AS license_url
+                FROM documents
+            )
+            SELECT license_raw, license_url, count(*) AS n
+            FROM r GROUP BY license_raw, license_url
+            ORDER BY license_raw
         """,
         "q_biggest_record": """
             SELECT user_id, count(*) AS n_events FROM events

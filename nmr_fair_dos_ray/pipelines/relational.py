@@ -68,30 +68,45 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q03_top_building_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast semi-join (customer segment filter) + top-k sort."""
+    """Broadcast semi-join (customer segment filter) + top-k.
+
+    Top-10 via per-batch PARTIAL top-k folded into the semi-join stage plus
+    one driver-side merge of ≤ 10×n_batches rows — no all-to-all
+    ``Dataset.sort`` (VERDICT round-1 item 7; same pattern as ann.py's
+    brute-force merge)."""
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     keys = set(
         cust.filter(expr="c_mktsegment == 'BUILDING'").to_pandas()["c_custkey"]
     )
     ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    k = 10
 
-    class SemiJoin:
+    class SemiJoinTopK:
         def __init__(self):
             self.keys = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             m = np.isin(b["o_custkey"].to_numpy(zero_copy_only=False), self.keys)
-            return b.filter(pa.array(m))
+            f = b.filter(pa.array(m))
+            if f.num_rows <= k:
+                return f
+            price = f["o_totalprice"].to_numpy(zero_copy_only=False)
+            okey = f["o_orderkey"].to_numpy(zero_copy_only=False)
+            # top-k by (price desc, orderkey asc): lexsort is ascending, so
+            # sort by (-price, orderkey) and take the first k
+            order = np.lexsort((okey, -price))[:k]
+            return f.take(pa.array(np.sort(order)))
 
     orders = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    top = (
-        orders.map_batches(SemiJoin, batch_format="pyarrow", concurrency=(1, 4))
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
+    partial = orders.map_batches(
+        SemiJoinTopK, batch_format="pyarrow", concurrency=(1, 4)
     )
-    df = top.to_pandas()
+    df = partial.to_pandas()  # ≤ 10 rows per input batch
+    df = df.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
     df["o_totalprice"] = round_half_away(df["o_totalprice"], 2)
     return df[["o_orderkey", "o_custkey", "o_totalprice"]]
 
@@ -347,3 +362,60 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_events"))
     )
     return agg.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
+_LICENSE_ROTATION = [
+    "MIT",                                                        # id match
+    "mit license",                                                # name, case-insensitive
+    "CC-BY-4.0",                                                  # id match
+    "https://creativecommons.org/licenses/by-sa/4.0/legalcode",   # seeAlso URL
+    "http://www.apache.org/licenses/LICENSE-2.0.html",            # seeAlso, http/.html variant
+    "GNU General Public License v3.0 only",                       # name match
+    "not-a-license",                                              # unmatched → null
+]
+
+
+def q_license_normalize(sf_dir: str) -> pd.DataFrame:
+    """SPDX normalize-join as a pipeline stage (J3/F3 — reference:
+    src/nmr_FAIR_DOs/utils.py:214-340 parseSPDXLicenseURL over the SPDX list
+    with id/name/seeAlso/fuzzy-URL rules, memoized).
+
+    The license column is synthesized deterministically from doc_id
+    (rotation over id/name/seeAlso/unmatched variants, mirrored by the SQL
+    oracle); the SPDX side table is broadcast ONCE via ``ray.put`` and the
+    match runs inside ``map_batches`` with a per-actor memo over the
+    (Zipf-repetitive) raw values — the reference's ``known_licenses`` cache
+    as actor state. Rollup: (license_raw, license_url) → count.
+    """
+    from nmr_fair_dos_ray.functions.scalar import normalize_license, spdx_license_table
+    from ray.data.aggregate import Count
+
+    table_ref = ray.put(spdx_license_table())
+    rotation = _LICENSE_ROTATION
+
+    class Normalize:
+        def __init__(self):
+            self.table = ray.get(table_ref)
+            self.memo: dict[str, str | None] = {}
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            raw = [rotation[int(x) % len(rotation)] for x in d]
+            urls = []
+            for v in raw:
+                if v not in self.memo:
+                    self.memo[v] = normalize_license(v, self.table)
+                urls.append(self.memo[v])
+            return pa.table(
+                {"license_raw": pa.array(raw, pa.string()),
+                 "license_url": pa.array(urls, pa.string())}
+            )
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    agg = (
+        docs.map_batches(Normalize, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["license_raw", "license_url"])
+        .aggregate(Count(alias_name="n"))
+    )
+    df = agg.to_pandas()
+    return df.sort_values(["license_raw"]).reset_index(drop=True)

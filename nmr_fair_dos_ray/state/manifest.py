@@ -112,3 +112,103 @@ class Manifest:
     @staticmethod
     def now() -> float:
         return time.time()
+
+
+class PartitionLog:
+    """Parquet-backed partition table for HIGH-CARDINALITY stages.
+
+    The JSON manifest stores per-partition dicts — fine for the shard stage
+    (hundreds of rows) but a driver-memory/serialization scale-killer for
+    phase-1 invert at the 10^12-row target (millions of work items;
+    VERDICT round-1 item 9). This log streams partition rows into parquet
+    session files instead: the build driver never holds more than one result
+    batch in Python, and planning reads back COLUMNS (numpy arrays at ~100
+    bytes/row) rather than dicts.
+
+    Layout: ``<dir>/manifest_parts/<stage>/session_NNNN.parquet``, one file
+    per build session, written to a dot-tmp name and renamed at close —
+    a crash mid-session leaves no readable file, so those work items simply
+    re-run (the same semantics the JSON marking had, with less loss). Rows
+    for a work item redone in a later session shadow earlier ones (read()
+    dedups keeping the latest).
+    """
+
+    def __init__(self, directory: str, stage: str):
+        self.dir = os.path.join(directory, "manifest_parts", stage)
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    def read(self, columns: list[str] | None = None):
+        """-> pa.Table (possibly empty) with one row per partition, latest
+        session wins for duplicated work_item_ids."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = self._files()
+        if not files:
+            return None
+        cols = columns
+        if cols is not None and "work_item_id" not in cols:
+            cols = ["work_item_id", *cols]
+        tables = [pq.read_table(f, columns=cols) for f in files]
+        t = pa.concat_tables(tables)
+        wi = t["work_item_id"].to_numpy(zero_copy_only=False)
+        # keep the LAST occurrence per work item (files are session-ordered)
+        last = {}
+        for i, w in enumerate(wi):
+            last[int(w)] = i
+        if len(last) != len(wi):
+            idx = np.sort(np.fromiter(last.values(), dtype=np.int64))
+            t = t.take(pa.array(idx))
+        return t
+
+    class _Session:
+        def __init__(self, log: "PartitionLog"):
+            os.makedirs(log.dir, exist_ok=True)
+            n = len(log._files())
+            self.final = os.path.join(log.dir, f"session_{n:04d}_{os.getpid()}.parquet")
+            self.tmp = os.path.join(log.dir, f".tmp-{os.path.basename(self.final)}")
+            self._writer = None
+            self.rows = 0
+
+        def write(self, batch) -> None:
+            import pyarrow.parquet as pq
+
+            if batch.num_rows == 0:
+                return
+            if self._writer is None:
+                self._writer = pq.ParquetWriter(self.tmp, batch.schema)
+            self._writer.write_table(batch)
+            self.rows += batch.num_rows
+
+        def close(self) -> None:
+            if self._writer is not None:
+                self._writer.close()
+                os.replace(self.tmp, self.final)
+
+    def open_session(self) -> "PartitionLog._Session":
+        return PartitionLog._Session(self)
+
+    def replace(self, table) -> None:
+        """Atomically replace the whole log (keep-pruning on input change)."""
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, ".tmp-replace.parquet")
+        pq.write_table(table, tmp)
+        for f in self._files():
+            os.remove(f)
+        os.replace(tmp, os.path.join(self.dir, "session_0000_kept.parquet"))
+
+    def clear(self) -> None:
+        if os.path.isdir(self.dir):
+            for f in os.listdir(self.dir):
+                os.remove(os.path.join(self.dir, f))
