@@ -68,3 +68,27 @@ def test_query_scorer_shared_state_pool(sharded):
     for i, q in enumerate(queries):
         got = [(r["doc_id"], r["score"]) for r in out if r["query_id"] == i]
         assert got == local.search(q, k=5), q
+
+
+def test_memory_partitioned_bytes(sharded):
+    """Each actor's Arrow-resident slice is ~1/pool of the total posting
+    bytes — partitioned, not replicated (VERDICT #6)."""
+    s, idx, _ = sharded
+    sizes = ray.get([a.state_nbytes.remote() for a in s.actors])
+    total = sum(sizes)
+    assert total > 0
+    # with 8 shards over 3 slots the worst slot holds 3/8 of the shards;
+    # assert no actor approaches the whole index
+    assert max(sizes) < 0.7 * total, sizes
+
+
+def test_pruned_and_unpruned_identical(sharded):
+    """The block-max threshold pushdown must not change any returned result
+    (lossless pruning argument in the module docstring)."""
+    s, idx, sf = sharded
+    queries = [r["query"] for r in pq.read_table(sf["queries"]).to_pylist()]
+    local = Searcher(IndexReader(idx))
+    for q in queries:
+        pruned = s.search(q, k=5, prune=True)
+        unpruned = s.search(q, k=5, prune=False)
+        assert pruned == unpruned == local.search(q, k=5, algorithm="bmw"), q
