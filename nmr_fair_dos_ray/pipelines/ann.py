@@ -93,16 +93,27 @@ def brute_force_topk(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    # ≤ nq×k rows per block — merge on the driver (the former
+    # groupby(query_id).map_groups all-to-all was fixed cost only)
+    return _merge_topk_driver(partial, k, round_to)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+def _merge_topk_driver(partial: Dataset, k: int, round_to: int | None) -> Dataset:
+    import ray.data as rd
+
+    df = partial.to_pandas()
+    out = []
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
         g = g.copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
         if round_to is not None:
             g["cosine"] = round_half_away(g["cosine"], round_to)
-        return g[["query_id", "rank", "vec_id", "cosine"]]
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+        out.append(g[["query_id", "rank", "vec_id", "cosine"]])
+    merged = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    )
+    return rd.from_pandas(merged)
 
 
 # ------------------------------------------------------------------- IVF ---
@@ -304,11 +315,4 @@ def ivf_topk(
                                "id_col": id_col},
         batch_format="pyarrow", concurrency=(1, 8),
     )
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[["query_id", "rank", "vec_id", "cosine"]]
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk_driver(partial, k, round_to=None)

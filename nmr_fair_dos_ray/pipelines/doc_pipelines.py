@@ -75,14 +75,23 @@ def q_df_top_terms(sf_dir: str) -> pd.DataFrame:
             # distinct (doc, term) within the batch — docs never span batches
             return pairs.group_by(["doc_id", "term"]).aggregate([])
 
-    df = (
+    agg = (
         docs.map_batches(Tok, batch_format="pyarrow", concurrency=(1, 8))
         .groupby("term")
         .aggregate(Count(alias_name="df"))
-        .sort(["df", "term"], descending=[True, False])
-        .limit(50)
     )
-    return df.to_pandas()
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        # per-block partial top-50 → driver merges ≤ 50×n_blocks rows; the
+        # global Dataset.sort all-to-all was pure fixed cost for a top-k
+        dfc = b["df"].to_numpy(zero_copy_only=False)
+        terms = b["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -dfc))[:50]
+        return b.take(pa.array(np.sort(order)))
+
+    parts = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["df", "term"], ascending=[False, True]).head(50)
+    return parts.reset_index(drop=True)
 
 
 def q_corpus_stats(sf_dir: str) -> pd.DataFrame:

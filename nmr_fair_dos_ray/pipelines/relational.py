@@ -42,22 +42,29 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
                  "l_discount", "l_shipdate"],
     )
 
-    def prep(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
+        # per-batch partial aggregation via Arrow C++ group_by: the shuffle
+        # is replaced by a ≤6-rows-per-batch partial stream merged on the
+        # driver — Ray's sort-based Aggregate has ~4 s fixed cost at 32 CPUs
+        # on this VM, pure overhead for single-digit group cardinality
         b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(pd.Timestamp("2024-06-30"))))
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("disc_price", disc)
+        b = b.append_column("disc_price", disc)
+        return b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = (
+        parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(
+            sum_qty=("l_quantity_sum", "sum"),
+            sum_base_price=("l_extendedprice_sum", "sum"),
+            sum_disc_price=("disc_price_sum", "sum"),
+            count_order=("l_quantity_count", "sum"),
         )
     )
-    df = agg.to_pandas()
     df["avg_qty"] = round_half_away(df["sum_qty"] / df["count_order"], 4)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         df[c] = round_half_away(df[c], 2)
@@ -117,13 +124,20 @@ def q05_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     small shuffle over ≤ |nation| × |batches| rows)."""
     supp = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
     nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
-    supp_map = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
-    nat_map = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    ref = ray.put((supp_map, nat_map))
+    # dense array lookups, not dicts: suppkey → nation index is one `take`
+    # per batch (the former per-row dict loop cost ~17 µs/row on this VM)
+    nat_sorted = nat.sort_values("n_nationkey").reset_index(drop=True)
+    nation_idx_of = np.full(int(supp["s_suppkey"].max()) + 2, -1, np.int64)
+    key_to_idx = {k: i for i, k in enumerate(nat_sorted["n_nationkey"])}
+    nation_idx_of[supp["s_suppkey"].to_numpy()] = (
+        supp["s_nationkey"].map(key_to_idx).to_numpy()
+    )
+    n_nations = len(nat_sorted)
+    ref = ray.put(nation_idx_of)
 
     class RevenuePartial:
         def __init__(self):
-            self.supp_map, self.nat_map = ray.get(ref)
+            self.nation_idx_of = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
@@ -131,17 +145,22 @@ def q05_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
                 b["l_extendedprice"].to_numpy(zero_copy_only=False)
                 * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
             )
-            names = [self.nat_map.get(self.supp_map.get(int(k), -1), "UNKNOWN") for k in sk]
-            part = pd.DataFrame({"n_name": names, "revenue": rev}).groupby("n_name", as_index=False)["revenue"].sum()
-            return pa.Table.from_pandas(part, preserve_index=False)
+            ni = self.nation_idx_of[sk]
+            sums = np.bincount(ni, weights=rev, minlength=n_nations)
+            return pa.table(
+                {"nation_idx": pa.array(np.arange(n_nations, dtype=np.int64)),
+                 "revenue": pa.array(sums, pa.float64())}
+            )
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount"])
-    agg = (
-        li.map_batches(RevenuePartial, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    # ≤ |nation| rows per batch — merged on the driver, no Aggregate shuffle
+    parts = li.map_batches(
+        RevenuePartial, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
+    totals = parts.groupby("nation_idx")["revenue"].sum()
+    df = pd.DataFrame(
+        {"n_name": nat_sorted["n_name"], "revenue": totals.reindex(range(n_nations), fill_value=0.0).to_numpy()}
     )
-    df = agg.to_pandas()
     df["revenue"] = round_half_away(df["revenue"], 2)
     return df.sort_values("n_name").reset_index(drop=True)
 
@@ -151,17 +170,20 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     src/nmr_FAIR_DOs/repositories/nmrxiv.py:222-260 / SURVEY.md M16)."""
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
-    def window(b: pa.Table) -> pa.Table:
+    def window_partial(b: pa.Table) -> pa.Table:
+        # filter + per-batch Arrow group_by partials; single-digit group
+        # cardinality merges on the driver (no Aggregate all-to-all)
         lo = pa.scalar(pd.Timestamp("2024-01-10"))
         hi = pa.scalar(pd.Timestamp("2024-01-20"))
-        return b.filter(pc.and_(pc.greater_equal(b["ts"], lo), pc.less(b["ts"], hi)))
+        b = b.filter(pc.and_(pc.greater_equal(b["ts"], lo), pc.less(b["ts"], hi)))
+        return b.group_by("event_type").aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
 
-    agg = (
-        ev.map_batches(window, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    parts = ev.map_batches(window_partial, batch_format="pyarrow").to_pandas()
+    df = parts.groupby("event_type", as_index=False).agg(
+        n_events=("value_count", "sum"), sum_value=("value_sum", "sum")
     )
-    df = agg.to_pandas()
     df["sum_value"] = round_half_away(df["sum_value"], 2)
     return df.sort_values("event_type").reset_index(drop=True)
 
