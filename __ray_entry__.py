@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_extract_errors": ex.q_extract_errors,
         "q_extract_resolved": ex.q_extract_resolved,
         "q_repo_fdo": ex.q_repo_fdo,
+        "q_flatten_records": ex.q_flatten_records,
+        "q_type_api_fixes": ex.q_type_api_fixes,
     }
 
 
@@ -108,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
         "q_extract_errors": ox.ERRORS_SQL,
         "q_extract_resolved": ox.RESOLVED_SQL,
         "q_repo_fdo": ox.REPO_FDO_SQL,
+        "q_flatten_records": ox.FLATTEN_SQL,
+        "q_type_api_fixes": ox.TYPE_FIXES_SQL,
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

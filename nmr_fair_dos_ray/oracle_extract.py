@@ -309,3 +309,55 @@ SELECT pid, key, name, value_json FROM (
 )
 ORDER BY pid, key, value_json
 """
+
+
+_DTR_RENAME = """
+    CASE key
+        WHEN '21.T11148/b8457812905b83046284' THEN 'digitalObjectLocation'
+        WHEN '21.T11148/6ae999552a0d2dca14d6' THEN 'name'
+        WHEN '21.T11148/d0773859091aeb451528' THEN 'hasMetadata'
+        WHEN '21.T11148/4fe7cde52629b61e3b82' THEN 'isMetadataFor'
+        WHEN '21.T11148/aafd5fb4c7222e2d950a' THEN 'dateCreated'
+        WHEN '21.T11148/397d831aa3a9d18eb52c' THEN 'dateModified'
+        WHEN '21.T11969/d15381199a44a16dc88d' THEN 'characterizedCompound'
+        WHEN '21.T11148/1c699a5d1b4ad3ba4956' THEN 'digitalObjectType'
+        WHEN '21.T11148/076759916209e5d62bd5' THEN 'kernelInformationProfile'
+        WHEN '21.T11148/a753134738da82809fc1' THEN 'hadPrimarySource'
+        WHEN '21.T11148/1a73af9e7ae00182733b' THEN 'contact'
+        ELSE key END
+"""
+
+FLATTEN_SQL = (
+    "WITH entries AS (" + ENTRIES_SQL + ")\n"
+    + f"""
+SELECT pid, field, n_values, as_list FROM (
+    SELECT pid, {_DTR_RENAME} AS field,
+           count(DISTINCT value_json)::BIGINT AS n_values,
+           (({_DTR_RENAME}) IN ('isMetadataFor', 'hasMetadata', 'contact')
+            OR count(DISTINCT value_json) > 1) AS as_list
+    FROM entries
+    GROUP BY pid, field
+)
+ORDER BY pid, field
+"""
+)
+
+TYPE_FIXES_SQL = (
+    "WITH entries AS (" + ENTRIES_SQL + ")\n"
+    + """
+SELECT pid, key,
+       CASE key
+           WHEN '21.T11969/8710d753ad10f371189b'
+               THEN '{"landingPageLocation": "' || value_json || '"}'
+           WHEN '21.T11148/f3f0cbaa39fa9966b279'
+               THEN '{"identifier": "' || value_json || '"}'
+           WHEN '21.T11969/7a19f6d5c8e63dd6bfcb'
+               THEN '{"NMR_Method": "' || value_json || '"}'
+           ELSE '{"locationPreview/Sample": "' || value_json || '"}'
+       END AS value_json
+FROM entries
+WHERE key IN ('21.T11969/8710d753ad10f371189b', '21.T11148/f3f0cbaa39fa9966b279',
+              '21.T11969/7a19f6d5c8e63dd6bfcb', '21.T11148/7fdada5846281ef5d461')
+ORDER BY pid, key, value_json
+"""
+)

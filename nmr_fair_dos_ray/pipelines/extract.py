@@ -790,3 +790,43 @@ def q_repo_fdo(sf_dir: str):
 
     df = merged.map_batches(keep_repo, batch_format="pyarrow").to_pandas()
     return df.sort_values(["pid", "key", "value_json"]).reset_index(drop=True)
+
+
+def q_flatten_records(sf_dir: str):
+    """M12 ES-doc flattening over the extraction output: DTR-renamed fields,
+    distinct-value collapse, always-as-list coercion (reference:
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:41-124). Returns the
+    SQL-comparable slice (pid, field, n_values, as_list)."""
+    from nmr_fair_dos_ray.pipelines.records import flatten_records
+
+    out = extract_records(_envelopes(sf_dir))
+    entries = out.filter(expr="kind == 'entry'").select_columns(
+        ["pid", "key", "name", "value_json"]
+    )
+    flat = flatten_records(entries).select_columns(
+        ["pid", "field", "n_values", "as_list"]
+    )
+    df = flat.to_pandas()
+    return df.sort_values(["pid", "field"]).reset_index(drop=True)
+
+
+def q_type_api_fixes(sf_dir: str):
+    """M13 Type-API rewrapping applied to the extraction output; returns the
+    affected rows (the reference's workaround keys only)."""
+    from nmr_fair_dos_ray.pipelines.records import TYPE_API_FIXES, apply_type_api_fixes
+
+    out = extract_records(_envelopes(sf_dir))
+    entries = out.filter(expr="kind == 'entry'").select_columns(
+        ["pid", "key", "value_json"]
+    )
+    fixed = entries.map_batches(apply_type_api_fixes, batch_format="pyarrow")
+
+    def keep_fixed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.is_in(b["key"], value_set=pa.array(sorted(TYPE_API_FIXES)))
+        )
+
+    df = fixed.map_batches(keep_fixed, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["pid", "key", "value_json"]).reset_index(drop=True)

@@ -201,3 +201,31 @@ def bidirectional_edges(resolved: Dataset) -> Dataset:
         ok.map_batches(rev, batch_format="pyarrow")
     )
     return both.groupby(["src", "dst", "relation"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+
+
+#: M13 — the reference's Type-API schema workaround (reference:
+#: src/nmr_FAIR_DOs/connectors/tpm_connector.py:292-342; note its call sites
+#: are commented out there — implemented for parity, opt-in here too).
+TYPE_API_FIXES = {
+    "21.T11969/8710d753ad10f371189b": "landingPageLocation",
+    "21.T11148/f3f0cbaa39fa9966b279": "identifier",
+    "21.T11969/7a19f6d5c8e63dd6bfcb": "NMR_Method",
+    "21.T11148/7fdada5846281ef5d461": "locationPreview/Sample",
+}
+
+
+def apply_type_api_fixes(batch: pa.Table) -> pa.Table:
+    """Long-format M13: for the four affected keys, rewrap value_json as the
+    internal JSON string ``{"<fixName>": "<value>"}`` (exact reference string
+    construction, including no escaping — it is a verbatim port of the
+    workaround's concatenation)."""
+    keys = batch["key"].to_pylist()
+    vals = batch["value_json"].to_pylist()
+    out = [
+        '{"' + TYPE_API_FIXES[k] + '": "' + v + '"}' if k in TYPE_API_FIXES else v
+        for k, v in zip(keys, vals)
+    ]
+    return batch.set_column(
+        batch.schema.get_field_index("value_json"), "value_json",
+        pa.array(out, pa.string()),
+    )

@@ -101,3 +101,21 @@ def test_two_key_resolve_and_reverse(records_ds, edges_ds, sf_unit):
     for s, d in pairs:
         assert (d, s) in pairs
     assert bidir.duplicated(["src", "dst", "relation"]).sum() == 0
+
+
+def test_apply_type_api_fixes():
+    import pyarrow as pa
+
+    from nmr_fair_dos_ray.pipelines.records import apply_type_api_fixes
+
+    b = pa.table(
+        {
+            "pid": ["p", "p"],
+            "key": ["21.T11969/8710d753ad10f371189b", "other-key"],
+            "value_json": ["https://x.example/lp", "keep-me"],
+        }
+    )
+    out = apply_type_api_fixes(b)
+    assert out["value_json"].to_pylist() == [
+        '{"landingPageLocation": "https://x.example/lp"}', "keep-me",
+    ]
