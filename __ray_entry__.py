@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_exact": dp.q_dedup_exact,
         "q_minhash_neardup": dp.q_minhash_neardup,
         "q_simhash_sample": dp.q_simhash_sample,
+        "q_simhash_neardup": dp.q_simhash_neardup,
         "q_fingerprints": dp.q_fingerprints,
         "q_pid_mint": dp.q_pid_mint,
         "q_embed_neardup": dp.q_embed_neardup,

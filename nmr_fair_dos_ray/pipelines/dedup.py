@@ -437,3 +437,73 @@ def exact_dedup_groups(docs: Dataset, hash_col: str, id_col: str = "doc_id") -> 
     return docs.groupby(hash_col).aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="n_docs")
     )
+
+
+def simhash_candidate_pairs(
+    docs: Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """SimHash near-dup candidates via Hamming-bucket LSH.
+
+    The 64-bit fingerprint splits into ``max_hamming + 1`` bands; by
+    pigeonhole, any pair within ``max_hamming`` bit flips agrees EXACTLY on
+    at least one band, so grouping by (band_id, band_value) finds every such
+    pair — the SimHash analog of MinHash banding, one uniform groupby whose
+    payload is 8 bytes/doc/band. Pairs are Hamming-verified in-bucket and
+    deduped across bands with a tiny pair groupby.
+    """
+    n_bands = max_hamming + 1
+    bits_per = 64 // n_bands
+
+    class Bands(SimHashStage):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = super().__call__(batch)
+            sim = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+            n = sim.size
+            band_ids = np.tile(np.arange(n_bands, dtype=np.int32), n)
+            shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(bits_per))
+            mask = np.uint64((1 << bits_per) - 1)
+            vals = ((sim[:, None] >> shifts[None, :]) & mask).reshape(-1)
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.repeat(
+                        t["doc_id"].to_numpy(zero_copy_only=False), n_bands
+                    )),
+                    "band_id": pa.array(band_ids),
+                    "band_value": pa.array(vals.view(np.int64)),
+                    "simhash": pa.array(np.repeat(sim, n_bands).view(np.int64)),
+                }
+            )
+
+    bands = docs.map_batches(
+        Bands, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        ids = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy().view(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        x = sims[iu] ^ sims[ju]
+        # vectorized popcount (numpy has no intrinsic): 8-bit LUT over views
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+        ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"a": ids[iu[keep]].astype(np.int64),
+             "b": ids[ju[keep]].astype(np.int64),
+             "hamming": ham[keep]}
+        )
+
+    cand = bands.groupby(["band_id", "band_value"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -225,6 +225,16 @@ def q_simhash_sample(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("doc_id").head(200).reset_index(drop=True)
 
 
+def q_simhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """SimHash Hamming-bucket near-dup pairs (Hamming ≤ 3 via band-LSH
+    pigeonhole; rows-only oracle — banding is not SQL-expressible)."""
+    from nmr_fair_dos_ray.pipelines.dedup import simhash_candidate_pairs
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    df = simhash_candidate_pairs(docs, max_hamming=3).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Rolling-hash doc fingerprints (min + count; rows-only oracle)."""
     from nmr_fair_dos_ray.pipelines.textops import doc_fingerprints
