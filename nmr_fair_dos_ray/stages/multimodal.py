@@ -25,11 +25,97 @@ from ray.data import Dataset
 IMAGE_META = ("width", "height", "channels", "format")
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6): pure header parse + frombuffer —
+    no codec library needed. -> (h, w, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raster
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER): header
+    parse + strided frombuffer. -> (h, w, 3) uint8 RGB (rows un-flipped,
+    BGR→RGB swapped)."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL parser for RIFF/WAVE PCM16: chunk walk + frombuffer.
+    -> (samples int16 [n, channels], sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, "<i2")
+    return samples.reshape(-1, channels), rate
+
+
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decoder seam — requires an image codec library (not in container)."""
+    """Dispatch to the REAL pure-numpy decoders for uncompressed formats;
+    compressed codecs (PNG/JPEG) stay an honestly-stubbed seam — their
+    libraries are not in this container."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image codec libraries unavailable in this environment; "
-        "the deterministic fake below exercises the full Ray-side plumbing"
+        "compressed image codecs (PNG/JPEG) unavailable in this environment; "
+        "PPM/BMP decode is real, the deterministic fake exercises the rest"
     )
 
 
@@ -47,27 +133,32 @@ class ImageDecodeStage:
     batch_format="pyarrow")`` — small batches because rows are wide.
     """
 
+    #: formats with a REAL pure-numpy decoder in this container
+    REAL_FORMATS = {"ppm", "bmp"}
+
     def __init__(self, use_real_codec: bool = False):
         self.use_real_codec = use_real_codec  # once-per-actor codec init seam
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels, ok = [], []
-        for payload, w, h, c in zip(
+        for payload, w, h, c, fmt in zip(
             batch["payload"].to_pylist(),
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
             batch["channels"].to_pylist(),
+            batch["format"].to_pylist(),
         ):
             try:
-                img = (
-                    _decode_image_real(payload)
-                    if self.use_real_codec
-                    else _decode_image_fake(payload, w, h, c)
-                )
+                if fmt in self.REAL_FORMATS:
+                    img = _decode_image_real(payload)
+                elif self.use_real_codec:
+                    img = _decode_image_real(payload)  # raises for PNG/JPEG
+                else:
+                    img = _decode_image_fake(payload, w, h, c)
                 pixels.append(img.ravel().tolist())
                 ok.append(True)
-            except NotImplementedError:
-                pixels.append([])
+            except (NotImplementedError, ValueError):
+                pixels.append([])  # dead-letter row (M17 pattern)
                 ok.append(False)
         return batch.append_column(
             "pixels", pa.array(pixels, pa.list_(pa.uint8()))
