@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from nmr_fair_dos_ray.functions.rounding import round_half_away
 
