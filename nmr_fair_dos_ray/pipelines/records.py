@@ -12,6 +12,7 @@ shared mutable state (SURVEY.md §1.4, §2.6 J1, §2.7 A1-A3).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -95,12 +96,33 @@ def flatten_records(records: Dataset) -> Dataset:
 
 
 # ------------------------------------------------------- A2/A3: reductions
+def _argmax_first(ds: Dataset, value_col: str) -> Dataset:
+    """argmax by (value desc, pid asc) WITHOUT a global sort: per-block
+    partial argmax inside map_batches, then a driver merge of one row per
+    block (the top-k-without-shuffle pattern; a Dataset.sort here is an
+    all-to-all paying only for row 1)."""
+    import numpy as np
+    import ray.data as rd
+
+    def block_best(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        vals = b[value_col].to_numpy(zero_copy_only=False)
+        pids = b["pid"].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((pids, -vals))[0])
+        return b.take(pa.array([i]))
+
+    parts = ds.map_batches(block_best, batch_format="pyarrow").to_pandas()
+    best = parts.sort_values([value_col, "pid"], ascending=[False, True]).head(1)
+    return rd.from_pandas(best.reset_index(drop=True))
+
+
 def biggest_record(records: Dataset) -> Dataset:
     """argmax over records of max entries-per-key
     (reference `extractBiggestFAIRDO`, src/nmr_FAIR_DOs/lib.py:652-685)."""
     per_key = records.groupby(["pid", "key"]).aggregate(Count(alias_name="n_entries"))
     per_pid = per_key.groupby("pid").aggregate(Max("n_entries", alias_name="max_entries"))
-    return per_pid.sort(["max_entries", "pid"], descending=[True, False]).limit(1)
+    return _argmax_first(per_pid, "max_entries")
 
 
 def most_datatypes(records: Dataset) -> Dataset:
@@ -108,7 +130,7 @@ def most_datatypes(records: Dataset) -> Dataset:
     (reference `extractRecordWithMostDataTypes`, src/nmr_FAIR_DOs/lib.py:688-718)."""
     distinct = records.groupby(["pid", "key"]).aggregate(Count(alias_name="_c"))
     per_pid = distinct.groupby("pid").aggregate(Count(alias_name="n_datatypes"))
-    return per_pid.sort(["n_datatypes", "pid"], descending=[True, False]).limit(1)
+    return _argmax_first(per_pid, "n_datatypes")
 
 
 # ------------------------------------------------- J1: two-key edge resolve
@@ -229,3 +251,121 @@ def apply_type_api_fixes(batch: pa.Table) -> pa.Table:
         batch.schema.get_field_index("value_json"), "value_json",
         pa.array(out, pa.string()),
     )
+
+
+def resolve_edges_join(
+    edges: Dataset, records: Dataset, num_partitions: int = 8
+) -> Dataset:
+    """J1 two-key priority resolve as a DISTRIBUTED repartition-join — the
+    scale path for :func:`resolve_edges`, whose broadcast lookup
+    materializes every record pid on the driver (fine for harvest-sized
+    corpora, not for 10^12 records).
+
+    One hash shuffle: edge rows and lookup rows (record pids + min-pid per
+    digitalObjectLocation) are co-partitioned by ``hash(join key) %
+    num_partitions``; inside each group the two probes run in priority order
+    against group-local dicts — semantics identical to the broadcast version
+    (tested). Built on ``groupby().map_groups`` rather than ``Dataset.join``
+    because Ray 2.49's hash join emits schema-less empty partitions that
+    crash Arrow's join on sparse keys.
+
+    ``edges`` must carry (source_pid, presumed_target, relation).
+    """
+    from nmr_fair_dos_ray.tokenizer import term_hash
+
+    def _part_of(keys: pa.Array) -> pa.Array:
+        h = term_hash(keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys)
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        if "presumed_target" not in b.column_names:
+            return _combined_empty()
+        return pa.table({
+            "part_id": _part_of(b["presumed_target"]),
+            "side": pa.array(np.zeros(b.num_rows, np.int8)),
+            "source_pid": b["source_pid"].cast(pa.string()),
+            "presumed_target": b["presumed_target"].cast(pa.string()),
+            "relation": b["relation"].cast(pa.string()),
+            "match_kind": pa.nulls(b.num_rows, pa.string()),
+            "match_key": pa.nulls(b.num_rows, pa.string()),
+            "match_val": pa.nulls(b.num_rows, pa.string()),
+        })
+
+    def _combined_empty() -> pa.Table:
+        return pa.table({
+            "part_id": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "source_pid": pa.array([], pa.string()),
+            "presumed_target": pa.array([], pa.string()),
+            "relation": pa.array([], pa.string()),
+            "match_kind": pa.array([], pa.string()),
+            "match_key": pa.array([], pa.string()),
+            "match_val": pa.array([], pa.string()),
+        })
+
+    def _lookup_rows(kind: str, keys: pa.Array, vals: pa.Array) -> pa.Table:
+        n = len(keys)
+        return pa.table({
+            "part_id": _part_of(keys),
+            "side": pa.array(np.ones(n, np.int8)),
+            "source_pid": pa.nulls(n, pa.string()),
+            "presumed_target": pa.nulls(n, pa.string()),
+            "relation": pa.nulls(n, pa.string()),
+            "match_kind": pa.array([kind] * n, pa.string()),
+            "match_key": keys.combine_chunks().cast(pa.string()) if isinstance(keys, pa.ChunkedArray) else keys.cast(pa.string()),
+            "match_val": vals.combine_chunks().cast(pa.string()) if isinstance(vals, pa.ChunkedArray) else vals.cast(pa.string()),
+        })
+
+    def tag_pids(b: pa.Table) -> pa.Table:
+        if "pid" not in b.column_names:
+            return _combined_empty()
+        return _lookup_rows("pid", b["pid"], b["pid"])
+
+    def tag_locs(b: pa.Table) -> pa.Table:
+        if "value_json" not in b.column_names:
+            return _combined_empty()
+        return _lookup_rows("loc", b["value_json"], b["loc_pid"])
+
+    def _loc_filter(b: pa.Table) -> pa.Table:
+        if "key" not in b.column_names:
+            return pa.table({"pid": pa.array([], pa.string()),
+                             "value_json": pa.array([], pa.string())})
+        return b.filter(
+            pc.equal(b["key"], KEY_DIGITAL_OBJECT_LOCATION)
+        ).select(["pid", "value_json"])
+
+    pids = (
+        records.groupby("pid")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(tag_pids, batch_format="pyarrow")
+    )
+    locs = (
+        records.map_batches(_loc_filter, batch_format="pyarrow")
+        .groupby("value_json")
+        .aggregate(Min("pid", alias_name="loc_pid"))
+        .map_batches(tag_locs, batch_format="pyarrow")
+    )
+    combined = edges.map_batches(tag_edges, batch_format="pyarrow").union(pids, locs)
+
+    def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        pid_set = set(right.loc[right["match_kind"] == "pid", "match_key"])
+        loc_map = dict(zip(
+            right.loc[right["match_kind"] == "loc", "match_key"],
+            right.loc[right["match_kind"] == "loc", "match_val"],
+        ))
+        resolved, how = [], []
+        for t in left["presumed_target"]:
+            if t in pid_set:
+                resolved.append(t); how.append("pid")
+            elif t in loc_map:
+                resolved.append(loc_map[t]); how.append("location")
+            else:
+                resolved.append(None); how.append("unresolved")
+        out = left[["source_pid", "presumed_target", "relation"]].copy()
+        out["resolved_pid"] = pd.Series(resolved, index=left.index, dtype=object)
+        out["resolved_by"] = how
+        return out
+
+    return combined.groupby("part_id").map_groups(resolve_group, batch_format="pandas")

@@ -199,12 +199,30 @@ def q_record_merge(sf_dir: str) -> pd.DataFrame:
     return agg.to_pandas().sort_values(["user_id", "event_type"]).reset_index(drop=True)
 
 
+def _argmax_first(ds: Dataset, value_col: str, id_col: str) -> pd.DataFrame:
+    """argmax by (value desc, id asc) with per-block partials + a one-row-
+    per-block driver merge — no all-to-all Dataset.sort for row 1."""
+
+    def block_best(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        vals = b[value_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        i = int(np.lexsort((ids, -vals))[0])
+        return b.take(pa.array([i]))
+
+    parts = ds.map_batches(block_best, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values([value_col, id_col], ascending=[False, True])
+        .head(1).reset_index(drop=True)
+    )
+
+
 def q_biggest_record(sf_dir: str) -> pd.DataFrame:
     """argmax user by event count (A2, src/nmr_FAIR_DOs/lib.py:652-685)."""
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     per = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
-    top = per.sort(["n_events", "user_id"], descending=[True, False]).limit(1)
-    return top.to_pandas()
+    return _argmax_first(per, "n_events", "user_id")
 
 
 def q_most_event_types(sf_dir: str) -> pd.DataFrame:
@@ -212,8 +230,7 @@ def q_most_event_types(sf_dir: str) -> pd.DataFrame:
     ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
     distinct = ev.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_c"))
     per = distinct.groupby("user_id").aggregate(Count(alias_name="n_types"))
-    top = per.sort(["n_types", "user_id"], descending=[True, False]).limit(1)
-    return top.to_pandas()
+    return _argmax_first(per, "n_types", "user_id")
 
 
 def q_twokey_resolve(sf_dir: str) -> pd.DataFrame:

@@ -119,3 +119,52 @@ def test_apply_type_api_fixes():
     assert out["value_json"].to_pylist() == [
         '{"landingPageLocation": "https://x.example/lp"}', "keep-me",
     ]
+
+
+def test_resolve_edges_join_matches_broadcast(ray_session):
+    """Distributed hash-join two-key resolve must match the broadcast
+    version row-for-row, including probe priority and dead letters."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nmr_fair_dos_ray.pipelines.records import (
+        KEY_DIGITAL_OBJECT_LOCATION, resolve_edges, resolve_edges_join,
+    )
+
+    records = rd.from_items(
+        [
+            # pid-probe target
+            {"pid": "P1", "key": "k", "name": "n", "value_json": "v"},
+            # location-probe targets: two records share LOC2 → min pid wins
+            {"pid": "P2", "key": KEY_DIGITAL_OBJECT_LOCATION, "name": "l",
+             "value_json": "LOC1"},
+            {"pid": "P4", "key": KEY_DIGITAL_OBJECT_LOCATION, "name": "l",
+             "value_json": "LOC2"},
+            {"pid": "P3", "key": KEY_DIGITAL_OBJECT_LOCATION, "name": "l",
+             "value_json": "LOC2"},
+            # a record that is BOTH a pid target and holds a location: the
+            # pid probe must win for target "P2"
+        ]
+    ).repartition(3)
+    edges = rd.from_items(
+        [
+            {"source_pid": "S", "presumed_target": "P1", "relation": "hasMetadata"},
+            {"source_pid": "S", "presumed_target": "LOC1", "relation": "hasMetadata"},
+            {"source_pid": "S", "presumed_target": "LOC2", "relation": "hasMetadata"},
+            {"source_pid": "S", "presumed_target": "P2", "relation": "hasMetadata"},
+            {"source_pid": "S", "presumed_target": "missing", "relation": "x"},
+        ]
+    ).repartition(2)
+
+    cols = ["source_pid", "presumed_target", "relation", "resolved_pid", "resolved_by"]
+    a = (resolve_edges(edges, records).to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    b = (resolve_edges_join(edges, records).to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    assert a.equals(b), (a, b)
+    got = dict(zip(a["presumed_target"], zip(a["resolved_pid"], a["resolved_by"])))
+    assert got["P1"] == ("P1", "pid")
+    assert got["LOC1"] == ("P2", "location")
+    assert got["LOC2"] == ("P3", "location")  # min pid across duplicates
+    assert got["P2"] == ("P2", "pid")
+    assert got["missing"] == (None, "unresolved")
