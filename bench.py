@@ -156,6 +156,15 @@ def run_bench() -> dict:
     t_query = time.time() - t0
     stages["query_pool"] = round(t_query, 3)
     n_pool_queries = len(pool_queries)
+    # secondary: request-cache-enabled pool (the reference's ES enables its
+    # request cache by default; headline qps above stays UNCACHED)
+    cached_kwargs = dict(pool_kwargs)
+    cached_kwargs["fn_constructor_kwargs"] = {
+        **pool_kwargs["fn_constructor_kwargs"], "result_cache": 1024,
+    }
+    t0 = time.time()
+    qds.map_batches(QueryScorer, **cached_kwargs).count()
+    t_query_cached = time.time() - t0
 
     # ---- headline 3: representative data-processing pipelines
     for name, fn in [
@@ -188,6 +197,7 @@ def run_bench() -> dict:
             "p50_ms": round(float(np.percentile(lats_np, 50)), 2),
             "p99_ms": round(float(np.percentile(lats_np, 99)), 2),
             "qps_pool": round(n_pool_queries / t_query, 1),
+            "qps_pool_cached": round(n_pool_queries / t_query_cached, 1),
             "n_queries": n_pool_queries,
         },
     }

@@ -591,7 +591,7 @@ class QueryScorer:
     """
 
     def __init__(self, index_dir: str | None = None, k: int = 10,
-                 algorithm: str = "bmw", index_ref=None):
+                 algorithm: str = "bmw", index_ref=None, result_cache: int = 0):
         if index_ref is not None:
             import ray
 
@@ -601,6 +601,11 @@ class QueryScorer:
         self.searcher = Searcher(reader)
         self.k = k
         self.algorithm = algorithm
+        # optional per-actor query-result LRU (the reference's Elasticsearch
+        # enables its request cache by default; this is the engine analog —
+        # OFF by default so benchmark headlines stay uncached/comparable)
+        self.result_cache = int(result_cache)
+        self._results: dict[tuple[str, int], list] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
@@ -608,7 +613,17 @@ class QueryScorer:
         for qid, query, k in zip(
             batch["query_id"].to_pylist(), batch["query"].to_pylist(), ks
         ):
-            hits = self.searcher.search(query, k=int(k or self.k), algorithm=self.algorithm)
+            kk = int(k or self.k)
+            if self.result_cache:
+                key = (query, kk)
+                hits = self._results.get(key)
+                if hits is None:
+                    hits = self.searcher.search(query, k=kk, algorithm=self.algorithm)
+                    if len(self._results) >= self.result_cache:
+                        self._results.pop(next(iter(self._results)))
+                    self._results[key] = hits
+            else:
+                hits = self.searcher.search(query, k=kk, algorithm=self.algorithm)
             for rank, (doc, score) in enumerate(hits, 1):
                 qids.append(qid); ranks.append(rank); docs.append(doc); scores.append(score)
         return pa.table(

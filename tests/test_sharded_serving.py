@@ -92,3 +92,27 @@ def test_pruned_and_unpruned_identical(sharded):
         pruned = s.search(q, k=5, prune=True)
         unpruned = s.search(q, k=5, prune=False)
         assert pruned == unpruned == local.search(q, k=5, algorithm="bmw"), q
+
+
+def test_query_scorer_result_cache_identical(sharded):
+    """result_cache must not change any output, only skip recompute."""
+    import ray.data as rd
+
+    from nmr_fair_dos_ray.search.engine import QueryScorer
+
+    _, idx, sf = sharded
+    reader = IndexReader(idx)
+    ref = ray.put(reader.to_state())
+    queries = [r["query"] for r in pq.read_table(sf["queries"]).to_pylist()][:6]
+    rows = [{"query_id": i, "query": q, "k": 5}
+            for i, q in enumerate(queries * 3)]  # repeats exercise the cache
+    qds = rd.from_items(rows)
+    base = qds.map_batches(
+        QueryScorer, fn_constructor_kwargs={"index_ref": ref},
+        concurrency=1, batch_size=4, batch_format="pyarrow",
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    cached = qds.map_batches(
+        QueryScorer, fn_constructor_kwargs={"index_ref": ref, "result_cache": 64},
+        concurrency=1, batch_size=4, batch_format="pyarrow",
+    ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert base.equals(cached)
