@@ -1,12 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — one callable per implemented operator/pipeline from
-SURVEY.md §2 plus the training-data operators; each takes ``sf_dir`` and
-returns a DataFrame. ``oracle_sql()`` — the DuckDB-equivalent SQL for every
-SQL-expressible query (same column names, same rounding); non-SQL-expressible
-pipelines (LSH bucketing, SimHash, heuristic language-ID, IVF recall,
-stubbed multimodal decode) are intentionally omitted there → rows-only check.
+sf0.001. ``queries()`` — 37 callables, one per implemented operator/pipeline
+from SURVEY.md §2 (incl. the M1-M11 extraction family) plus the
+training-data operators; each takes ``sf_dir`` and returns a DataFrame.
+``oracle_sql()`` — the DuckDB-equivalent SQL for the 30 SQL-expressible
+queries (same column names, same rounding); non-SQL-expressible pipelines
+(LSH bucketing, SimHash banding, heuristic language-ID, IVF recall, stubbed
+multimodal decode) are intentionally omitted there → rows-only check.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.
