@@ -27,6 +27,7 @@ from ray.data.aggregate import Count, Min, Sum
 from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
 from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
 from nmr_fair_dos_ray.functions.rounding import round_half_away
+from nmr_fair_dos_ray.sources import sized_read_parquet
 from nmr_fair_dos_ray.tokenizer import Tokenizer
 
 BM25_QUERY = "data pipeline query"
@@ -62,7 +63,7 @@ def documents_index(sf_dir: str) -> str:
 def q_df_top_terms(sf_dir: str) -> pd.DataFrame:
     """Document frequency per term, top 50 (df desc, term asc) — the core
     postings statistic (SURVEY.md §2.7 engine rows)."""
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     class Tok:
         def __init__(self):
@@ -98,7 +99,7 @@ def q_corpus_stats(sf_dir: str) -> pd.DataFrame:
     """n_docs / total_tokens / avgdl — the BM25 global stats pass."""
     from nmr_fair_dos_ray.pipelines.textops import token_counts_per_doc
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     counts = token_counts_per_doc(docs)
     agg = counts.aggregate(Count(alias_name="n_docs"), Sum("n_ws_tokens", alias_name="total_tokens"))
     n_docs = int(agg["n_docs"])
@@ -141,7 +142,7 @@ def q_exact_lookup(sf_dir: str) -> pd.DataFrame:
 def q_token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
     from nmr_fair_dos_ray.pipelines.textops import token_counts_per_doc
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
 
     def with_lang(b: pa.Table) -> pa.Table:
         from nmr_fair_dos_ray.pipelines.textops import token_counts_per_doc  # noqa
@@ -175,7 +176,7 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     """Heuristic language-ID rollup (no SQL oracle — heuristic scoring)."""
     from nmr_fair_dos_ray.pipelines.textops import quality_features
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     feats = quality_features(docs)
     agg = feats.groupby("lang_guess").aggregate(Count(alias_name="n_docs"))
     return agg.to_pandas().sort_values("lang_guess").reset_index(drop=True)
@@ -188,7 +189,7 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     corpora without duplicates."""
     from nmr_fair_dos_ray.pipelines.dedup import exact_dedup_groups
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def add_hash(b: pa.Table) -> pa.Table:
         hs = [hashlib.sha256((t or "").encode()).hexdigest() for t in b["text"].to_pylist()]
@@ -206,7 +207,7 @@ def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     oracle: LSH bucketing is not SQL-expressible)."""
     from nmr_fair_dos_ray.pipelines.dedup import minhash_candidate_pairs
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     pairs = minhash_candidate_pairs(docs)
     df = pairs.to_pandas()
     df = df[df["sig_jaccard"] >= 0.5].copy()
@@ -218,7 +219,7 @@ def q_simhash_sample(sf_dir: str) -> pd.DataFrame:
     """64-bit SimHash per doc (first 200 docs; rows-only oracle)."""
     from nmr_fair_dos_ray.pipelines.dedup import SimHashStage
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     res = docs.map_batches(
         SimHashStage, batch_format="pyarrow", concurrency=(1, 8)
     ).to_pandas()
@@ -230,7 +231,7 @@ def q_simhash_neardup(sf_dir: str) -> pd.DataFrame:
     pigeonhole; rows-only oracle — banding is not SQL-expressible)."""
     from nmr_fair_dos_ray.pipelines.dedup import simhash_candidate_pairs
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     df = simhash_candidate_pairs(docs, max_hamming=3).to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -239,7 +240,7 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Rolling-hash doc fingerprints (min + count; rows-only oracle)."""
     from nmr_fair_dos_ray.pipelines.textops import doc_fingerprints
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     fps = doc_fingerprints(docs).to_pandas()
     fps["fp_min"] = fps["fingerprint"].map(lambda l: int(min(l)) if len(l) else -1)
     fps["fp_count"] = fps["fingerprint"].map(len)
@@ -266,7 +267,7 @@ def q_ann_top5(sf_dir: str) -> pd.DataFrame:
     from nmr_fair_dos_ray.pipelines.ann import brute_force_topk
 
     qids, qm = _query_matrix(sf_dir)
-    vecs = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    vecs = sized_read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     res = brute_force_topk(vecs, qm, k=ANN_K, round_to=4).to_pandas()
     res["query_vec_id"] = res["query_id"].map(lambda q: int(qids[q]))
     return res[["query_vec_id", "rank", "vec_id", "cosine"]].sort_values(
@@ -280,7 +281,7 @@ def q_ivf_overlap(sf_dir: str) -> pd.DataFrame:
     from nmr_fair_dos_ray.pipelines.ann import brute_force_topk, ivf_topk
 
     qids, qm = _query_matrix(sf_dir)
-    vecs = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    vecs = sized_read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     bf = brute_force_topk(vecs, qm, k=ANN_K).to_pandas()
     ivf = ivf_topk(vecs, qm, k=ANN_K, n_clusters=16, nprobe=4).to_pandas()
     rows = []
@@ -307,7 +308,7 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     """
     from nmr_fair_dos_ray.pipelines.ann import embed_neardup_pairs
 
-    vecs = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    vecs = sized_read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     pairs = embed_neardup_pairs(vecs, tau=EMBED_NEARDUP_TAU, n_clusters=8)
     df = pairs.to_pandas()
     return df.sort_values(["a", "b"]).reset_index(drop=True)
@@ -319,7 +320,7 @@ def q_pid_mint(sf_dir: str) -> pd.DataFrame:
     chemotion.py:317-319), with the decode round-trip asserted per row."""
     from nmr_fair_dos_ray.functions.scalar import decode_from_base64, encode_in_base64
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
 
     def mint(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
@@ -344,7 +345,7 @@ def q_image_pipeline(sf_dir: str) -> pd.DataFrame:
         ImageDecodeStage, ImageResizeStage, attach_binary_payload,
     )
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]).limit(64)
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]).limit(64)
     with_payload = attach_binary_payload(docs)
     decoded = with_payload.map_batches(
         ImageDecodeStage, batch_size=16, batch_format="pyarrow", concurrency=(1, 2)

@@ -18,7 +18,9 @@ from nmr_fair_dos_ray.functions.rounding import round_half_away
 def quality_sql_features(sf_dir: str) -> pd.DataFrame:
     """Per-doc: n_chars_q (char count), n_tokens (whitespace tokens),
     mean_token_len (non-ws chars / tokens, round 4). Fully Arrow-vectorized."""
-    docs = rd.read_parquet(
+    from nmr_fair_dos_ray.sources import sized_read_parquet
+
+    docs = sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 

@@ -28,6 +28,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from nmr_fair_dos_ray.functions.rounding import round_half_away
+from nmr_fair_dos_ray.sources import sized_read_parquet
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -81,7 +82,7 @@ def q03_top_building_orders(sf_dir: str) -> pd.DataFrame:
     one driver-side merge of ≤ 10×n_batches rows — no all-to-all
     ``Dataset.sort`` (VERDICT round-1 item 7; same pattern as ann.py's
     brute-force merge)."""
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust = sized_read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     keys = set(
         cust.filter(expr="c_mktsegment == 'BUILDING'").to_pandas()["c_custkey"]
     )
@@ -122,8 +123,8 @@ def q05_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """lineitem ⋈ supplier ⋈ nation revenue rollup — two broadcast lookups
     plus one partial-aggregated groupby (pre-aggregate per batch, then a
     small shuffle over ≤ |nation| × |batches| rows)."""
-    supp = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    nat = rd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    supp = sized_read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = sized_read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
     # dense array lookups, not dicts: suppkey → nation index is one `take`
     # per batch (the former per-row dict loop cost ~17 µs/row on this VM)
     nat_sorted = nat.sort_values("n_nationkey").reset_index(drop=True)
@@ -152,7 +153,7 @@ def q05_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
                  "revenue": pa.array(sums, pa.float64())}
             )
 
-    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    li = sized_read_parquet(_t(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount"])
     # ≤ |nation| rows per batch — merged on the driver, no Aggregate shuffle
     parts = li.map_batches(
         RevenuePartial, batch_format="pyarrow", concurrency=(1, 4)
@@ -168,7 +169,7 @@ def q05_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     """Time-range filter + rollup (the reference's harvest-window predicate,
     src/nmr_FAIR_DOs/repositories/nmrxiv.py:222-260 / SURVEY.md M16)."""
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+    ev = sized_read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
 
     def window_partial(b: pa.Table) -> pa.Table:
         # filter + per-batch Arrow group_by partials; single-digit group
@@ -192,7 +193,7 @@ def q_record_merge(sf_dir: str) -> pd.DataFrame:
     """Dedup-merge by (user_id, event_type): first fragment + fragment count —
     the reference's pid-keyed merge A1 (src/nmr_FAIR_DOs/lib.py:502-527) with
     deterministic first = min(event_id)."""
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "event_id"])
+    ev = sized_read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type", "event_id"])
     agg = ev.groupby(["user_id", "event_type"]).aggregate(
         Min("event_id", alias_name="first_event_id"), Count(alias_name="n_rows")
     )
@@ -220,14 +221,14 @@ def _argmax_first(ds: Dataset, value_col: str, id_col: str) -> pd.DataFrame:
 
 def q_biggest_record(sf_dir: str) -> pd.DataFrame:
     """argmax user by event count (A2, src/nmr_FAIR_DOs/lib.py:652-685)."""
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ev = sized_read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     per = ev.groupby("user_id").aggregate(Count(alias_name="n_events"))
     return _argmax_first(per, "n_events", "user_id")
 
 
 def q_most_event_types(sf_dir: str) -> pd.DataFrame:
     """argmax user by distinct event types (A3, src/nmr_FAIR_DOs/lib.py:688-718)."""
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    ev = sized_read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
     distinct = ev.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_c"))
     per = distinct.groupby("user_id").aggregate(Count(alias_name="n_types"))
     return _argmax_first(per, "n_types", "user_id")
@@ -240,8 +241,8 @@ def q_twokey_resolve(sf_dir: str) -> pd.DataFrame:
     user_ids 0-99 exist in BOTH tables — the priority order is what's being
     verified, mirroring the reference's records_to_create → pid_records → ES
     probe sequence.)"""
-    cust = set(rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]).to_pandas()["c_custkey"])
-    supp = set(rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"]).to_pandas()["s_suppkey"])
+    cust = set(sized_read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]).to_pandas()["c_custkey"])
+    supp = set(sized_read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"]).to_pandas()["s_suppkey"])
     ref = ray.put((np.array(sorted(cust), np.int64), np.array(sorted(supp), np.int64)))
 
     class Resolve:
@@ -255,7 +256,7 @@ def q_twokey_resolve(sf_dir: str) -> pd.DataFrame:
             how = np.where(in_s, "supplier", np.where(in_c, "customer", "unresolved"))
             return pa.table({"resolved_by": pa.array(how.tolist(), pa.string())})
 
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ev = sized_read_parquet(_t(sf_dir, "events"), columns=["user_id"])
     agg = (
         ev.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 4))
         .groupby("resolved_by")
@@ -268,7 +269,7 @@ def q_bidirectional_edges(sf_dir: str) -> pd.DataFrame:
     """Reverse-edge union + dedup + degree rollup (the reference's
     bidirectional relationship emission, src/nmr_FAIR_DOs/lib.py:120-274 with
     onSuccess callbacks — here a projection swap + union + groupby)."""
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"])
+    orders = sized_read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"])
 
     def fwd(b: pa.Table) -> pa.Table:
         return pa.table({"src": b["o_custkey"].cast(pa.int64()),
@@ -298,7 +299,7 @@ def q_session_windows(sf_dir: str) -> pd.DataFrame:
     assumption is "one user's events fit one task", which holds at any corpus
     scale because groups shard by user hash.
     """
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+    ev = sized_read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
     gap = pd.Timedelta(minutes=30)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -334,7 +335,7 @@ def q_date_parse(sf_dir: str) -> pd.DataFrame:
     """
     from nmr_fair_dos_ray.functions.scalar import parse_datetime
 
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    ev = sized_read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
     fmts = ["%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%d.%m.%Y"]
 
     from datetime import timezone
@@ -374,7 +375,7 @@ def q_json_extract(sf_dir: str) -> pd.DataFrame:
 
     from nmr_fair_dos_ray.functions.scalar import try_parse_json
 
-    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    ev = sized_read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
 
     def extract(b: pa.Table) -> pa.Table:
         buckets, ok = [], []
@@ -450,7 +451,7 @@ def q_license_normalize(sf_dir: str) -> pd.DataFrame:
                  "license_url": pa.array(urls, pa.string())}
             )
 
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
     agg = (
         docs.map_batches(Normalize, batch_format="pyarrow", concurrency=(1, 4))
         .groupby(["license_raw", "license_url"])

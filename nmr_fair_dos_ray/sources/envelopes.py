@@ -227,7 +227,9 @@ def synthesize_envelopes(sf_dir: str) -> Dataset:
     """
     import os
 
-    docs = rd.read_parquet(
+    from nmr_fair_dos_ray.sources import sized_read_parquet
+
+    docs = sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 
