@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_langid": dp.q_langid,
         "q_dedup_exact": dp.q_dedup_exact,
         "q_minhash_neardup": dp.q_minhash_neardup,
+        "q_minhash_components": dp.q_minhash_components,
         "q_simhash_sample": dp.q_simhash_sample,
         "q_simhash_neardup": dp.q_simhash_neardup,
         "q_fingerprints": dp.q_fingerprints,

@@ -298,24 +298,45 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
         concurrency=(1, 8),
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "sig_jaccard": []}).astype(
-                {"a": "int64", "b": "int64", "sig_jaccard": "float64"}
-            )
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for off, j in enumerate(eq):
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + off]))
-                out_j.append(float(j))
-        return pd.DataFrame({"a": out_a, "b": out_b, "sig_jaccard": out_j})
+    # ONE coarse shuffle key (hash-partition of the bucket key), buckets
+    # resolved INSIDE each partition with a vectorized pandas groupby — a
+    # Dataset groupby over the ~n_docs×32 tiny buckets paid per-group
+    # map_groups overhead ~16k times for a 500-doc corpus
+    n_parts = 32
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    def add_part(b: pa.Table) -> pa.Table:
+        bh = b["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bid = b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))
+        part = (mixed % np.uint64(n_parts)).astype(np.int64)
+        return b.append_column("part_id", pa.array(part))
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # drop singleton buckets vectorized, then loop only real buckets
+        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        sizes = g.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
+        g = g[sizes > 1]
+        out_a, out_b, out_j = [], [], []
+        for _, grp in g.groupby(["band_id", "band_hash"]):
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sigs = np.stack(grp["sig"].to_numpy())
+            for i in range(len(ids)):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                for off, j in enumerate(eq):
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + off]))
+                    out_j.append(float(j))
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"),
+             "b": pd.Series(out_b, dtype="int64"),
+             "sig_jaccard": pd.Series(out_j, dtype="float64")}
+        )
+
+    cand = bands.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part_id"
+    ).map_groups(pairs_partition, batch_format="pandas")
     # same pair can surface from multiple bands — dedup, keep max estimate
     from ray.data.aggregate import Max
 

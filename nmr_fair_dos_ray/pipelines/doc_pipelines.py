@@ -215,6 +215,32 @@ def q_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_minhash_components(sf_dir: str) -> pd.DataFrame:
+    """Near-dup connected components over MinHash-LSH candidates via the
+    Dataset-native min-label propagation (rows-only oracle). Returns one row
+    per component: representative label + member count."""
+    from nmr_fair_dos_ray.pipelines.dedup import (
+        minhash_candidate_pairs, near_dup_components_ds,
+    )
+
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs).materialize()
+    # auto path selection: the driver union-find for small candidate graphs
+    # (near-dup graphs are tiny relative to the corpus), the Dataset-native
+    # min-label rounds (near_dup_components_ds, join-per-round) once the
+    # graph outgrows one machine — both tested equivalent in tests/
+    if pairs.count() <= 100_000:
+        from nmr_fair_dos_ray.pipelines.dedup import near_dup_components
+
+        label = near_dup_components(pairs, threshold=0.5)
+        df = pd.Series(label, name="label").rename_axis("node").reset_index()
+    else:
+        labels = near_dup_components_ds(pairs, threshold=0.5)
+        df = labels.to_pandas()
+    agg = df.groupby("label", as_index=False).agg(n_docs=("node", "count"))
+    return agg.sort_values("label").reset_index(drop=True)
+
+
 def q_simhash_sample(sf_dir: str) -> pd.DataFrame:
     """64-bit SimHash per doc (first 200 docs; rows-only oracle)."""
     from nmr_fair_dos_ray.pipelines.dedup import SimHashStage
