@@ -105,6 +105,73 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, channels), rate
 
 
+def decode_y4m_frames(
+    payload: bytes, every_nth: int = 1, max_frames: int | None = None
+) -> tuple[np.ndarray, int, int]:
+    """REAL parser for uncompressed YUV4MPEG2 (.y4m) video: header parse +
+    strided frombuffer over FRAME chunks (4:2:0 assumed, Y plane returned).
+    -> (frames uint8 [n, h, w] luma, width, height)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    eol = payload.index(b"\n")
+    w = h = None
+    for tok in payload[10:eol].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("missing W/H in y4m header")
+    frame_bytes = w * h * 3 // 2  # 4:2:0: Y + U/4 + V/4
+    frames = []
+    i = eol + 1
+    fi = 0
+    while i < len(payload):
+        if not payload.startswith(b"FRAME", i):
+            raise ValueError(f"expected FRAME marker at byte {i}")
+        i = payload.index(b"\n", i) + 1
+        if fi % every_nth == 0:
+            y = np.frombuffer(payload, np.uint8, count=w * h, offset=i)
+            frames.append(y.reshape(h, w))
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        i += frame_bytes
+        fi += 1
+    return (
+        np.stack(frames) if frames else np.empty((0, h, w), np.uint8), w, h
+    )
+
+
+class VideoFrameSampleStage:
+    """binary y4m payload → every-Nth-frame luma planes (REAL parser for
+    uncompressed video; compressed codecs are out of scope, same seam policy
+    as images). Small batches — video rows are the widest of all."""
+
+    def __init__(self, every_nth: int = 5, max_frames: int = 8):
+        self.every_nth = every_nth
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames_col, n_frames, ok = [], [], []
+        for payload in batch["payload"].to_pylist():
+            try:
+                f, w, h = decode_y4m_frames(
+                    payload or b"", self.every_nth, self.max_frames
+                )
+                frames_col.append(f.reshape(f.shape[0], -1).ravel().tolist())
+                n_frames.append(f.shape[0])
+                ok.append(True)
+            except ValueError:
+                frames_col.append([])
+                n_frames.append(0)
+                ok.append(False)
+        return batch.append_column(
+            "frames_luma", pa.array(frames_col, pa.list_(pa.uint8()))
+        ).append_column(
+            "n_frames", pa.array(n_frames, pa.int32())
+        ).append_column("decoded", pa.array(ok, pa.bool_()))
+
+
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """Dispatch to the REAL pure-numpy decoders for uncompressed formats;
     compressed codecs (PNG/JPEG) stay an honestly-stubbed seam — their

@@ -327,3 +327,28 @@ def test_real_ppm_bmp_wav_decoders():
     assert out["pixels"][0].as_py() == img.ravel().tolist()
     out2 = ImageDecodeStage(use_real_codec=False)(t)
     assert out2["decoded"].to_pylist() == [True, True]  # png → seeded fake
+
+
+def test_real_y4m_video_decoder():
+    """Synthesized YUV4MPEG2 bytes round-trip: every-Nth luma planes."""
+    from nmr_fair_dos_ray.stages.multimodal import (
+        VideoFrameSampleStage, decode_y4m_frames,
+    )
+
+    rng = np.random.RandomState(13)
+    w, h, n = 6, 4, 7
+    lumas = rng.randint(0, 256, size=(n, h, w), dtype=np.uint8)
+    chroma = rng.randint(0, 256, size=(n, w * h // 2), dtype=np.uint8)
+    body = b"".join(
+        b"FRAME\n" + lumas[i].tobytes() + chroma[i].tobytes() for i in range(n)
+    )
+    y4m = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode() + body
+    frames, gw, gh = decode_y4m_frames(y4m, every_nth=2)
+    assert (gw, gh) == (w, h)
+    np.testing.assert_array_equal(frames, lumas[::2])
+    t = pa.table({"payload": pa.array([y4m, b"garbage"], pa.binary())})
+    out = VideoFrameSampleStage(every_nth=3, max_frames=2)(t)
+    assert out["decoded"].to_pylist() == [True, False]
+    assert out["n_frames"].to_pylist() == [2, 0]
+    got = np.asarray(out["frames_luma"][0].as_py(), np.uint8).reshape(2, h, w)
+    np.testing.assert_array_equal(got, lumas[[0, 3]])
