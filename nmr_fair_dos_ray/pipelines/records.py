@@ -72,27 +72,40 @@ def flatten_records(records: Dataset) -> Dataset:
     one groupby; dynamic (open key set) so the wide form stays long.
     """
 
+    n_parts = 32
+
     def rename(batch: pa.Table) -> pa.Table:
         keys = batch["key"].to_pylist()
         fields = [DTR_NAMES.get(k, k) for k in keys]
-        return batch.append_column("field", pa.array(fields, pa.string()))
+        batch = batch.append_column("field", pa.array(fields, pa.string()))
+        # ONE coarse shuffle key (pid hash): the (pid, field) groups resolve
+        # inside each partition with a vectorized pandas groupby — per-group
+        # map_groups overhead across n_records × n_fields tiny groups
+        # dominated this stage's wall time otherwise
+        from nmr_fair_dos_ray.tokenizer import term_hash
+
+        part = (term_hash(batch["pid"].combine_chunks() if isinstance(
+            batch["pid"], pa.ChunkedArray) else batch["pid"])
+            % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("part_id", pa.array(part))
 
     renamed = records.map_batches(rename, batch_format="pyarrow")
 
-    def collapse(group: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(set(group["value_json"].tolist()))
-        field = group["field"].iloc[0]
+    def collapse_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (pid, field), grp in g.groupby(["pid", "field"], sort=False):
+            vals = sorted(set(grp["value_json"].tolist()))
+            rows.append(
+                (pid, field, vals, len(vals),
+                 field in ALWAYS_AS_LIST or len(vals) > 1)
+            )
         return pd.DataFrame(
-            {
-                "pid": [group["pid"].iloc[0]],
-                "field": [field],
-                "values": [vals],
-                "n_values": [len(vals)],
-                "as_list": [field in ALWAYS_AS_LIST or len(vals) > 1],
-            }
+            rows, columns=["pid", "field", "values", "n_values", "as_list"]
         )
 
-    return renamed.groupby(["pid", "field"]).map_groups(collapse, batch_format="pandas")
+    return renamed.groupby("part_id").map_groups(
+        collapse_partition, batch_format="pandas"
+    )
 
 
 # ------------------------------------------------------- A2/A3: reductions
