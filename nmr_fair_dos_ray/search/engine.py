@@ -331,7 +331,7 @@ class _Cursor:
     postings instead of one."""
 
     __slots__ = ("r", "term", "idf", "j0", "nb", "lasts", "s_lo", "s_hi",
-                 "pi", "docs", "tfs", "ub", "exhausted")
+                 "pi", "docs", "tfs", "ub", "exhausted", "_cbi_key", "_cbi_val")
 
     #: lists longer than this many blocks are decoded whole through the
     #: reader's LRU — Zipf-head terms recur across queries and block
@@ -346,6 +346,8 @@ class _Cursor:
         self.nb = int(reader._boff[tid + 1]) - self.j0
         self.lasts = reader._b_last[self.j0 : self.j0 + self.nb]
         self.exhausted = self.nb == 0
+        self._cbi_key = (-1, -1)
+        self._cbi_val = 0
         self.ub = float(reader._b_max[self.j0 : self.j0 + self.nb].max()) if self.nb else 0.0
         if self.exhausted:
             return
@@ -370,10 +372,17 @@ class _Cursor:
         return int(self.docs[self.pi])
 
     def _cbi(self) -> int:
-        """Block index (absolute, 0-based within term) of the current doc."""
-        return self.s_lo + int(
-            np.searchsorted(self.lasts[self.s_lo : self.s_hi], self.docs[self.pi])
-        )
+        """Block index (absolute, 0-based within term) of the current doc.
+        Memoized on (s_lo, pi): bound() and span_max() both need it within
+        one BMW iteration, and cursors often do not move between iterations
+        — this halves the per-iteration searchsorted count."""
+        key = (self.s_lo, self.pi)
+        if key != self._cbi_key:
+            self._cbi_val = self.s_lo + int(
+                np.searchsorted(self.lasts[self.s_lo : self.s_hi], self.docs[self.pi])
+            )
+            self._cbi_key = key
+        return self._cbi_val
 
     def bound(self, span: int) -> int:
         """doc_last of the block ``span`` blocks ahead of the current one —
