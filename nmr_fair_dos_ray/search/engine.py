@@ -424,8 +424,12 @@ class _Cursor:
 
 
 #: blocks per scoring range in BMW — amortizes the Python-level outer loop
-#: over ~SPAN*128 postings while keeping block-max pruning at span granularity
-_SPAN_BLOCKS = 8
+#: over ~SPAN*128 postings while keeping block-max pruning at span
+#: granularity. Swept on the 150k-doc code corpus (k=10, Zipf-heavy
+#: queries): 4→32/8→21/16→18.5/32→16/64→21/128→26 ms — pruning loses less
+#: than loop amortization gains up to ~32 blocks, then range over-decode
+#: dominates. Results are bound-pruned only, so identical at any span.
+_SPAN_BLOCKS = 32
 
 
 class Searcher:
