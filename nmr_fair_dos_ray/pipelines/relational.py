@@ -301,21 +301,36 @@ def q_session_windows(sf_dir: str) -> pd.DataFrame:
     """
     ev = sized_read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
     gap = pd.Timedelta(minutes=30)
+    n_parts = 32
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g = g.assign(session_idx=new.cumsum() - 1)
-        out = g.groupby("session_idx").agg(
-            first_event_id=("event_id", "min"),
-            n_events=("event_id", "count"),
-            sum_value=("value", "sum"),
-        ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+    def add_part(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("part_id", pa.array((uid % n_parts).astype(np.int64)))
+
+    def sessions_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized sessionization over ALL the partition's users:
+        # one sort, one shifted-compare, one cumsum, one groupby-agg — the
+        # former per-user map_groups paid task overhead per user
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new = g["user_id"].ne(g["user_id"].shift()) | (g["ts"].diff() > gap)
+        g = g.assign(_sid=new.cumsum())
+        out = (
+            g.groupby("_sid", sort=True)
+            .agg(user_id=("user_id", "first"),
+                 first_event_id=("event_id", "min"),
+                 n_events=("event_id", "count"),
+                 sum_value=("value", "sum"))
+            .reset_index(drop=True)
+        )
+        out["session_idx"] = out.groupby("user_id").cumcount()
         out["sum_value"] = out["sum_value"].map(lambda v: round_half_away(v, 2))
-        return out
+        return out[["user_id", "session_idx", "first_event_id", "n_events", "sum_value"]]
 
-    res = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    res = (
+        ev.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(sessions_partition, batch_format="pandas")
+    )
     return (
         res.to_pandas()
         .astype({"session_idx": "int64", "n_events": "int64"})
