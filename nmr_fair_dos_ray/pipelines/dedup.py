@@ -137,21 +137,32 @@ class SimHashStage:
         self.text_col = text_col
         self.id_col = id_col
 
+    #: tokens per unpack chunk: the (chunk, 64) sign matrix stays ~8 MB —
+    #: unchunked, a whole-table batch blew up to hundreds of MB of
+    #: temporaries and hit this VM's first-touch page-fault wall
+    TOKEN_CHUNK = 16384
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         rows, terms = self.tok.batch_token_rows(batch[self.text_col])
         out = np.zeros(n, np.uint64)
         if len(terms):
             h = _hash_tokens(terms)
-            bits = (
-                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            ).astype(np.int64)
-            signs = 2 * bits - 1  # (n_tokens, 64)
-            # rows is non-decreasing; docs with zero tokens stay all-zero
-            present, starts = np.unique(rows, return_index=True)
-            sums = np.add.reduceat(signs, starts, axis=0)  # (n_present, 64)
-            packed = ((sums > 0).astype(np.uint64)
-                      << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+            shifts = np.arange(64, dtype=np.uint64)
+            acc = np.zeros((n, 64), np.int64)
+            for lo in range(0, h.size, self.TOKEN_CHUNK):
+                hi = min(lo + self.TOKEN_CHUNK, h.size)
+                signs = 2 * (
+                    (h[lo:hi, None] >> shifts[None, :]) & np.uint64(1)
+                ).astype(np.int64) - 1
+                # rows is non-decreasing → chunk rows form contiguous runs;
+                # partial per-doc sums across chunk boundaries just add up
+                r = rows[lo:hi]
+                present, starts = np.unique(r, return_index=True)
+                acc[present] += np.add.reduceat(signs, starts, axis=0)
+            present = np.unique(rows)
+            packed = ((acc[present] > 0).astype(np.uint64)
+                      << shifts[None, :]).sum(axis=1)
             out[present] = packed
         return pa.table(
             {

@@ -270,22 +270,40 @@ def q_bidirectional_edges(sf_dir: str) -> pd.DataFrame:
     bidirectional relationship emission, src/nmr_FAIR_DOs/lib.py:120-274 with
     onSuccess callbacks — here a projection swap + union + groupby)."""
     orders = sized_read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"])
+    n_parts = 32
 
-    def fwd(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b["o_custkey"].cast(pa.int64()),
-                         "dst": b["o_orderkey"].cast(pa.int64())})
+    def both_directions(b: pa.Table) -> pa.Table:
+        # emit fwd+rev in ONE pass (the old two-branch union re-executed the
+        # read per branch), pre-partitioned by src hash so dedup, degree AND
+        # top-k all resolve inside one shuffle — the former chain paid three
+        # all-to-alls (two groupbys + a global sort) for a 20-row answer
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok_ = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ck, ok_])
+        dst = np.concatenate([ok_, ck])
+        return pa.table({
+            "part_id": pa.array(src % n_parts),
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+        })
 
-    def rev(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b["o_orderkey"].cast(pa.int64()),
-                         "dst": b["o_custkey"].cast(pa.int64())})
+    def degree_topk(g: pd.DataFrame) -> pd.DataFrame:
+        deg = (
+            g.drop_duplicates(["src", "dst"])
+            .groupby("src", as_index=False).agg(n_out=("dst", "count"))
+        )
+        return deg.sort_values(["n_out", "src"], ascending=[False, True]).head(20)
 
-    both = orders.map_batches(fwd, batch_format="pyarrow").union(
-        orders.map_batches(rev, batch_format="pyarrow")
+    parts = (
+        orders.map_batches(both_directions, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(degree_topk, batch_format="pandas")
+        .to_pandas()
     )
-    dedup = both.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-    deg = dedup.groupby("src").aggregate(Count(alias_name="n_out"))
-    top = deg.sort(["n_out", "src"], descending=[True, False]).limit(20)
-    return top.to_pandas()
+    return (
+        parts.sort_values(["n_out", "src"], ascending=[False, True])
+        .head(20).reset_index(drop=True)
+    )
 
 
 def q_session_windows(sf_dir: str) -> pd.DataFrame:
