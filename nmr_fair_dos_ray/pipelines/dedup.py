@@ -301,7 +301,17 @@ class MinHashStage:
 
 def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
                             id_col: str = "doc_id") -> Dataset:
-    """LSH bucket groupby → candidate pairs (a < b) with signature Jaccard."""
+    """LSH bucket groupby → candidate pairs (a < b) with signature Jaccard.
+
+    Signatures do NOT ride the banding shuffle: band rows are 24 bytes
+    (doc, band, hash) — shipping the 1 KB signature with every one of the
+    32 band rows multiplied the exchange by ~40×. Buckets produce bare
+    candidate pairs; verification re-derives signatures for ONLY the docs
+    that appear in candidates via a broadcast-id semi-join (candidate
+    graphs are tiny relative to the corpus), then scores pairs vectorized.
+    """
+    import ray
+
     bands = docs.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
@@ -324,34 +334,76 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
         return b.append_column("part_id", pa.array(part))
 
     def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
-        # drop singleton buckets vectorized, then loop only real buckets
         g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
         sizes = g.groupby(["band_id", "band_hash"])["doc_id"].transform("size")
         g = g[sizes > 1]
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b = [], []
         for _, grp in g.groupby(["band_id", "band_hash"]):
-            grp = grp.sort_values("doc_id")
-            ids = grp["doc_id"].to_numpy()
-            sigs = np.stack(grp["sig"].to_numpy())
-            for i in range(len(ids)):
-                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                for off, j in enumerate(eq):
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + off]))
-                    out_j.append(float(j))
+            ids = np.sort(grp["doc_id"].to_numpy())
+            iu, ju = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
         return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"),
-             "b": pd.Series(out_b, dtype="int64"),
-             "sig_jaccard": pd.Series(out_j, dtype="float64")}
+            {"a": np.concatenate(out_a).astype(np.int64),
+             "b": np.concatenate(out_b).astype(np.int64)}
         )
 
-    cand = bands.map_batches(add_part, batch_format="pyarrow").groupby(
-        "part_id"
-    ).map_groups(pairs_partition, batch_format="pandas")
-    # same pair can surface from multiple bands — dedup, keep max estimate
-    from ray.data.aggregate import Max
+    cand = (
+        bands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(pairs_partition, batch_format="pandas")
+        .groupby(["a", "b"])  # same pair surfaces from multiple bands
+        .aggregate(Count(alias_name="_nb"))
+    )
+    pairs_df = cand.to_pandas()  # candidate graph — small by construction
+    if pairs_df.empty:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "sig_jaccard": pd.Series(dtype="float64")}
+        ))
+    needed = np.unique(np.concatenate([pairs_df["a"].to_numpy(),
+                                       pairs_df["b"].to_numpy()]))
+    needed_ref = ray.put(needed)
 
-    return cand.groupby(["a", "b"]).aggregate(Max("sig_jaccard", alias_name="sig_jaccard"))
+    class SigFetch:
+        """Re-derive signatures for candidate docs only (broadcast id set)."""
+
+        def __init__(self):
+            self.need = ray.get(needed_ref)
+            self.a, self.b = _perm_params()
+            self.tok = Tokenizer("simple")
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            m = np.isin(ids, self.need)
+            if not m.any():
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "sig": pa.array([], pa.list_(pa.int64()))})
+            sub = b.filter(pa.array(m))
+            sigs = batch_signatures(sub[text_col], self.tok, self.a, self.b)
+            n = sub.num_rows
+            sig_list = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * MINHASH_PERMS, MINHASH_PERMS,
+                                   dtype=np.int32)),
+                pa.array(sigs.reshape(-1).view(np.int64)),
+            )
+            return pa.table({"doc_id": sub[id_col].cast(pa.int64()),
+                             "sig": sig_list})
+
+    sig_df = docs.map_batches(
+        SigFetch, batch_format="pyarrow", concurrency=(1, 8)
+    ).to_pandas()
+    sig_map = {int(d): np.asarray(s, np.int64)
+               for d, s in zip(sig_df["doc_id"], sig_df["sig"])}
+    sa = np.stack([sig_map[int(x)] for x in pairs_df["a"]])
+    sb = np.stack([sig_map[int(x)] for x in pairs_df["b"]])
+    pairs_df = pairs_df.drop(columns=["_nb"]).assign(
+        sig_jaccard=(sa == sb).mean(axis=1)
+    )
+    return ray.data.from_pandas(pairs_df.reset_index(drop=True))
 
 
 def near_dup_components_ds(
