@@ -1,7 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — 37 callables, one per implemented operator/pipeline
+sf0.001. ``queries()`` — 38 callables, one per implemented operator/pipeline
 from SURVEY.md §2 (incl. the M1-M11 extraction family) plus the
 training-data operators; each takes ``sf_dir`` and returns a DataFrame.
 ``oracle_sql()`` — the DuckDB-equivalent SQL for the 30 SQL-expressible
