@@ -1,7 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — 38 callables, one per implemented operator/pipeline
+sf0.001. ``queries()`` — 40 callables, one per implemented operator/pipeline
 from SURVEY.md §2 (incl. the M1-M11 extraction family) plus the
 training-data operators; each takes ``sf_dir`` and returns a DataFrame.
 ``oracle_sql()`` — the DuckDB-equivalent SQL for the 30 SQL-expressible
@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ivf_overlap": dp.q_ivf_overlap,
         # multimodal plumbing (stubbed decode kernel)
         "q_image_pipeline": dp.q_image_pipeline,
+        "q_audio_pipeline": dp.q_audio_pipeline,
+        "q_video_pipeline": dp.q_video_pipeline,
         # M1-M11 extraction pipeline (JSON envelopes -> long format)
         "q_extract_entries": ex.q_extract_entries,
         "q_extract_edges": ex.q_extract_edges,

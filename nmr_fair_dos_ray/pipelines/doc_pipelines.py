@@ -389,3 +389,65 @@ def q_image_pipeline(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_audio_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Audio frame-sampling over REAL synthesized PCM16 WAV payloads
+    (rows-only oracle — binary decode isn't SQL-expressible). One payload per
+    first-64 doc, deterministic; returns per-doc frame stats."""
+    from nmr_fair_dos_ray.stages.multimodal import AudioFrameSampleStage, synth_wav
+
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]).limit(64)
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "payload": pa.array([synth_wav(int(d)) for d in ids], pa.binary())}
+        )
+
+    out = (
+        docs.map_batches(attach, batch_format="pyarrow")
+        .map_batches(
+            AudioFrameSampleStage,
+            fn_constructor_kwargs={"stride": 10, "frame_count": 16},
+            batch_size=16, batch_format="pyarrow", concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    out["n_frames"] = out["frames"].map(len)
+    out["frame_sum"] = out["frames"].map(lambda f: int(np.sum(f)))
+    return (
+        out[["doc_id", "n_frames", "frame_sum", "real_decode"]]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def q_video_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling over REAL synthesized y4m payloads (rows-only
+    oracle). Returns per-doc sampled-frame stats."""
+    from nmr_fair_dos_ray.stages.multimodal import VideoFrameSampleStage, synth_y4m
+
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]).limit(64)
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "payload": pa.array([synth_y4m(int(d)) for d in ids], pa.binary())}
+        )
+
+    out = (
+        docs.map_batches(attach, batch_format="pyarrow")
+        .map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs={"every_nth": 2, "max_frames": 3},
+            batch_size=16, batch_format="pyarrow", concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    out["luma_sum"] = out["frames_luma"].map(lambda f: int(np.sum(f)))
+    return (
+        out[["doc_id", "n_frames", "luma_sum", "decoded"]]
+        .sort_values("doc_id").reset_index(drop=True)
+    )

@@ -258,20 +258,37 @@ class ImageResizeStage:
 
 
 class AudioFrameSampleStage:
-    """binary audio payload → every-Nth-frame int16 samples (fake decode)."""
+    """binary audio payload → every-Nth-sample int16 frames.
+
+    RIFF/WAVE PCM16 payloads decode for REAL (pure parser above); anything
+    else falls back to the deterministic fake — the same real-format /
+    stub-seam dispatch policy as images."""
 
     def __init__(self, stride: int = 100, frame_count: int = 64):
         self.stride = stride
         self.frame_count = frame_count
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        frames = []
+        frames, real = [], []
         for payload in batch["payload"].to_pylist():
-            seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
+            payload = payload or b""
+            if payload[:4] == b"RIFF":
+                samples, _rate = decode_wav_pcm16(payload)
+                mono = samples[:, 0]
+                frames.append(
+                    mono[:: self.stride][: self.frame_count]
+                    .astype(np.int16).tolist()
+                )
+                real.append(True)
+                continue
+            seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
             rng = np.random.RandomState(seed)
             samples = rng.randint(-32768, 32767, size=self.frame_count * self.stride)
             frames.append(samples[:: self.stride].astype(np.int16).tolist())
-        return batch.append_column("frames", pa.array(frames, pa.list_(pa.int16())))
+            real.append(False)
+        return batch.append_column(
+            "frames", pa.array(frames, pa.list_(pa.int16()))
+        ).append_column("real_decode", pa.array(real, pa.bool_()))
 
 
 def attach_binary_payload(docs: Dataset, text_col: str = "text",
@@ -292,3 +309,32 @@ def attach_binary_payload(docs: Dataset, text_col: str = "text",
             .append_column("format", pa.array(["fake"] * n, pa.string()))
 
     return docs.map_batches(make, batch_format="pyarrow")
+
+
+def synth_wav(seed: int, n_samples: int = 400, rate: int = 8000) -> bytes:
+    """Deterministic REAL mono PCM16 WAV bytes (for fixtures/tests)."""
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    samples = rng.randint(-20000, 20000, size=n_samples).astype("<i2")
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little")
+        + b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+
+
+def synth_y4m(seed: int, w: int = 8, h: int = 6, n_frames: int = 6) -> bytes:
+    """Deterministic REAL YUV4MPEG2 (4:2:0) bytes (for fixtures/tests)."""
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    body = b"".join(
+        b"FRAME\n"
+        + rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        + rng.randint(0, 256, size=w * h // 2, dtype=np.uint8).tobytes()
+        for _ in range(n_frames)
+    )
+    return f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode() + body
