@@ -585,7 +585,8 @@ def build_index(
     # order: 'run_1000000' sorts lexicographically before 'run_999999', which
     # would break bucket doc-range disjointness past 10^6 work items
     _wi_order = np.argsort(parts_tbl["work_item_id"].to_numpy(zero_copy_only=False))
-    run_paths = [parts_tbl["run_path"].to_pylist()[i] for i in _wi_order]
+    _rp = parts_tbl["run_path"].to_pylist()
+    run_paths = [_rp[i] for i in _wi_order]
 
     # -------- phase 1.5: hot-term detection (salted-repartition prep) -----
     # Cheap: per-block partial df counts (one row per distinct term per run)

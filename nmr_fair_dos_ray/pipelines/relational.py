@@ -146,8 +146,16 @@ def q05_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
                 b["l_extendedprice"].to_numpy(zero_copy_only=False)
                 * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
             )
-            ni = self.nation_idx_of[sk]
-            sums = np.bincount(ni, weights=rev, minlength=n_nations)
+            # suppkeys outside the supplier table (out of range, or mapped to
+            # the -1 sentinel) are dropped — inner-join semantics, and keeps
+            # bincount from raising on negative / out-of-bounds indices
+            ni = self.nation_idx_of[
+                np.clip(sk, 0, len(self.nation_idx_of) - 1)
+            ]
+            valid = (ni >= 0) & (sk >= 0) & (sk < len(self.nation_idx_of))
+            sums = np.bincount(
+                ni[valid], weights=rev[valid], minlength=n_nations
+            )
             return pa.table(
                 {"nation_idx": pa.array(np.arange(n_nations, dtype=np.int64)),
                  "revenue": pa.array(sums, pa.float64())}

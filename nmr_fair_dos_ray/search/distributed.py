@@ -206,9 +206,13 @@ class ShardedSearcher:
                 got = ray.get(fut)
                 for t in missing[slot]:
                     self._meta_cache[t] = got.get(t)
+        # build the return dict BEFORE any eviction — clearing first would
+        # drop entries fetched this very call and silently return {} (the
+        # search path then treats every term as absent and yields no hits)
+        out = {t: m for t in terms if (m := self._meta_cache.get(t)) is not None}
         if len(self._meta_cache) > 65536:
             self._meta_cache.clear()
-        return {t: m for t in terms if (m := self._meta_cache.get(t)) is not None}
+        return out
 
     def _route(self, term: str) -> int:
         return (term_hash_one(term) % self.num_shards) % self.pool_size

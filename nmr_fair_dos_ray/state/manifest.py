@@ -139,11 +139,25 @@ class PartitionLog:
     def _files(self) -> list[str]:
         if not os.path.isdir(self.dir):
             return []
+        # sort NUMERICALLY by session number — lexicographic order breaks
+        # past the zero-pad width (session_10000 < session_9999) and would
+        # let stale partition rows shadow newer ones in latest-wins dedup
         return sorted(
-            os.path.join(self.dir, f)
-            for f in os.listdir(self.dir)
-            if f.endswith(".parquet") and not f.startswith(".")
+            (
+                os.path.join(self.dir, f)
+                for f in os.listdir(self.dir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            ),
+            key=lambda p: (self._session_no(p), os.path.basename(p)),
         )
+
+    @staticmethod
+    def _session_no(path: str) -> int:
+        name = os.path.basename(path)
+        try:
+            return int(name.split("_")[1])
+        except (IndexError, ValueError):
+            return -1
 
     def read(self, columns: list[str] | None = None):
         """-> pa.Table (possibly empty) with one row per partition, latest
@@ -173,8 +187,12 @@ class PartitionLog:
     class _Session:
         def __init__(self, log: "PartitionLog"):
             os.makedirs(log.dir, exist_ok=True)
-            n = len(log._files())
-            self.final = os.path.join(log.dir, f"session_{n:04d}_{os.getpid()}.parquet")
+            # next = max existing session number + 1 (not file count: crashes
+            # can leave gaps that a count-based scheme would re-collide on);
+            # 8-digit pad keeps even the lexicographic tiebreak consistent
+            files = log._files()
+            n = (max(log._session_no(f) for f in files) + 1) if files else 0
+            self.final = os.path.join(log.dir, f"session_{n:08d}_{os.getpid()}.parquet")
             self.tmp = os.path.join(log.dir, f".tmp-{os.path.basename(self.final)}")
             self._writer = None
             self.rows = 0

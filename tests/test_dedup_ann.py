@@ -311,22 +311,112 @@ def test_real_ppm_bmp_wav_decoders():
     assert rate == 44100
     np.testing.assert_array_equal(got, samples)
 
-    # stage-level: real format decodes, unknown format dead-letters under
-    # use_real_codec, fake-decodes otherwise
+    # stage-level: real formats (incl. PNG now) decode, JPEG dead-letters
+    # under use_real_codec, fake-decodes otherwise
+    from nmr_fair_dos_ray.stages.multimodal import encode_png
+
+    png_img = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
     t = pa.table(
         {
-            "payload": pa.array([ppm, b"\x89PNG fake"], pa.binary()),
-            "width": pa.array([7, 4], pa.int32()),
-            "height": pa.array([5, 4], pa.int32()),
-            "channels": pa.array([3, 3], pa.int32()),
-            "format": pa.array(["ppm", "png"]),
+            "payload": pa.array(
+                [ppm, encode_png(png_img), b"\xff\xd8 jpeg"], pa.binary()
+            ),
+            "width": pa.array([7, 4, 4], pa.int32()),
+            "height": pa.array([5, 4, 4], pa.int32()),
+            "channels": pa.array([3, 3, 3], pa.int32()),
+            "format": pa.array(["ppm", "png", "jpeg"]),
         }
     )
     out = ImageDecodeStage(use_real_codec=True)(t)
-    assert out["decoded"].to_pylist() == [True, False]
+    assert out["decoded"].to_pylist() == [True, True, False]
     assert out["pixels"][0].as_py() == img.ravel().tolist()
+    assert out["pixels"][1].as_py() == png_img.ravel().tolist()
+    assert out["pixels"].type == pa.list_(pa.uint8())
     out2 = ImageDecodeStage(use_real_codec=False)(t)
-    assert out2["decoded"].to_pylist() == [True, True]  # png → seeded fake
+    assert out2["decoded"].to_pylist() == [True, True, True]  # jpeg → fake
+
+
+def test_png_decoder_all_filters():
+    """Stdlib-zlib PNG decoder: encoder round-trip (filter 0) plus hand-
+    filtered scanlines covering Sub/Up/Average/Paeth, gray and RGBA."""
+    import zlib
+
+    from nmr_fair_dos_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(21)
+    for shape in [(6, 5, 3), (4, 7, 1), (3, 3, 4), (2, 2, 2)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(encode_png(img)), img.reshape(shape)
+        )
+
+    # hand-filter known pixels with every filter type, then decode
+    h, w, c = 5, 4, 3
+    img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8).reshape(h, w * c)
+    scan = bytearray()
+    prior = np.zeros(w * c, np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = img[y].astype(np.int32)
+        filt = np.zeros(w * c, np.int32)
+        for x in range(w * c):
+            a = int(row[x - c]) if x >= c else 0
+            b = int(prior[x])
+            cc = int(prior[x - c]) if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
+            filt[x] = (row[x] - pred) & 0xFF
+        scan += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big") + cid + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(png), img.reshape(h, w, c))
+
+    # unsupported shapes raise (16-bit, interlaced, palette)
+    for hdr in [bytes([16, 2, 0, 0, 0]), bytes([8, 2, 0, 0, 1]), bytes([8, 3, 0, 0, 0])]:
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", w.to_bytes(4, "big") + h.to_bytes(4, "big") + hdr)
+            + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_audio_stage_dead_letters_corrupt_riff():
+    """A truncated / non-PCM16 RIFF payload must NOT fail the task — it
+    falls through to the deterministic fake with real_decode=False."""
+    from nmr_fair_dos_ray.stages.multimodal import AudioFrameSampleStage
+
+    corrupt = [
+        b"RIFF\x10\x00\x00\x00WAVE",               # missing fmt/data
+        b"RIFF\x04\x00\x00\x00JUNK",               # not WAVE
+        b"RIFFtruncated",                          # garbage after magic
+    ]
+    t = pa.table({"payload": pa.array(corrupt, pa.binary())})
+    out = AudioFrameSampleStage(stride=10, frame_count=4)(t)
+    assert out["real_decode"].to_pylist() == [False, False, False]
+    assert all(len(f) == 4 for f in out["frames"].to_pylist())
+    assert out["frames"].type == pa.list_(pa.int16())
 
 
 def test_real_y4m_video_decoder():

@@ -48,3 +48,28 @@ def test_partition_log_empty_session_leaves_no_file(tmp_path):
     s = log.open_session()
     s.close()  # no rows written → no file, no crash
     assert log.read() is None
+
+
+def test_partition_log_numeric_session_order(tmp_path):
+    """Latest-wins must hold past the zero-pad width: a session numbered
+    10000 outranks 9999 even though it sorts lexicographically FIRST, and
+    numbering resumes from max+1 (not file count) so crash gaps can't
+    collide."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    log = PartitionLog(str(tmp_path), "invert")
+    os.makedirs(log.dir, exist_ok=True)
+    # fabricate legacy 4-digit sessions bracketing the old pad limit
+    pq.write_table(_rows([7], "old"), f"{log.dir}/session_9999_1.parquet")
+    pq.write_table(_rows([7], "new"), f"{log.dir}/session_10000_1.parquet")
+    got = dict(zip(log.read()["work_item_id"].to_pylist(),
+                   log.read()["run_path"].to_pylist()))
+    assert got == {7: "new/7"}  # lexicographic order would say old/7
+    # a fresh session must outrank BOTH (10001+), even though only 2 files exist
+    s = log.open_session(); s.write(_rows([7], "newest")); s.close()
+    assert log._session_no(s.final) == 10001
+    got = dict(zip(log.read()["work_item_id"].to_pylist(),
+                   log.read()["run_path"].to_pylist()))
+    assert got == {7: "newest/7"}

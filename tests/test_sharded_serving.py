@@ -94,6 +94,28 @@ def test_pruned_and_unpruned_identical(sharded):
         assert pruned == unpruned == local.search(q, k=5, algorithm="bmw"), q
 
 
+def test_term_meta_cache_eviction_not_lossy(sharded):
+    """Crossing the router meta-cache cap mid-call must still return the
+    metadata fetched in that very call (regression: the cache was cleared
+    BEFORE building the return dict, silently yielding zero results)."""
+    s, idx, sf = sharded
+    queries = [r["query"] for r in pq.read_table(sf["queries"]).to_pylist()]
+    multi = [q for q in queries
+             if len(s.tokenizer.tokenize_query(q)[0]) > 1][:3]
+    assert multi, "fixture has no multi-term queries"
+    local = Searcher(IndexReader(idx))
+    for q in multi:
+        s._meta_cache.clear()
+        # pre-fill with junk so the fetch in _term_meta crosses the cap
+        s._meta_cache.update(
+            {f"__pad_{i}": (1, 1.0) for i in range(65536)}
+        )
+        got = s.search(q, k=10)
+        assert got == local.search(q, k=10, algorithm="bmw"), q
+        assert len(s._meta_cache) <= 65536  # eviction did happen
+    s._meta_cache.clear()
+
+
 def test_query_scorer_result_cache_identical(sharded):
     """result_cache must not change any output, only skip recompute."""
     import ray.data as rd
