@@ -327,16 +327,46 @@ _DTR_RENAME = """
         ELSE key END
 """
 
+#: deterministic "now" injected into both the Ray flattener and this oracle
+#: (the reference stamps datetime.now() when dateCreated is absent —
+#: elasticsearch.py:116-124; a wall clock can't be hash-compared)
+FLATTEN_NOW_ISO = "2026-01-01T00:00:00"
+
+# dict-valued entries (compound values, '{'-prefixed) never surface under
+# their own key: each non-null inner (k, v) becomes 'key.subkey'
+# (elasticsearch.py:87-106); every pid gains a scalar 'timestamp' field.
 FLATTEN_SQL = (
     "WITH entries AS (" + ENTRIES_SQL + ")\n"
     + f"""
+, base AS (
+    SELECT pid, {_DTR_RENAME} AS field, value_json
+    FROM entries WHERE value_json NOT LIKE '{{%'
+    UNION ALL
+    SELECT pid, field, value_json FROM (
+        SELECT d.pid,
+               d.fieldbase || '.' ||
+               (CASE u.k
+                    WHEN '21.T11969/6c4d3deac9a49b65886a' THEN 'molecularWeight'
+                    WHEN '21.T11969/f9cb9b53273ce0da7739' THEN 'pubchemUrl'
+                    ELSE u.k END) AS field,
+               CAST(json_extract(d.value_json, '$."' || u.k || '"')
+                    AS VARCHAR) AS value_json
+        FROM (SELECT pid, {_DTR_RENAME} AS fieldbase, value_json
+              FROM entries WHERE value_json LIKE '{{%') d,
+             unnest(json_keys(d.value_json)) AS u(k)
+    ) WHERE value_json IS NOT NULL
+)
 SELECT pid, field, n_values, as_list FROM (
-    SELECT pid, {_DTR_RENAME} AS field,
+    SELECT pid, field,
            count(DISTINCT value_json)::BIGINT AS n_values,
-           (({_DTR_RENAME}) IN ('isMetadataFor', 'hasMetadata', 'contact')
+           (field IN ('isMetadataFor', 'hasMetadata', 'contact')
             OR count(DISTINCT value_json) > 1) AS as_list
-    FROM entries
+    FROM base
     GROUP BY pid, field
+    UNION ALL
+    SELECT DISTINCT pid, 'timestamp' AS field, 1::BIGINT AS n_values,
+           FALSE AS as_list
+    FROM entries
 )
 ORDER BY pid, field
 """

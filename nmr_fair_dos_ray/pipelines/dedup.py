@@ -280,13 +280,10 @@ class MinHashStage:
             batch[self.text_col], self.tok, self.a, self.b, self.n_shingle
         )
         bhash = band_hashes(sigs)
-        sig_list = pa.ListArray.from_arrays(
-            pa.array(
-                np.arange(0, (n + 1) * MINHASH_PERMS, MINHASH_PERMS, dtype=np.int32)
-            ),
-            pa.array(sigs.reshape(-1).view(np.int64)),
-        )
-        rep = pa.array(np.repeat(np.arange(n), LSH_BANDS))
+        # band rows are 20 B bare keys — the 1 KB signature must NOT ride
+        # the banding shuffle (it multiplied the exchange ~40×); verification
+        # re-derives signatures for candidate docs only (SigFetch /
+        # MinHashSigStage below)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, LSH_BANDS).astype(np.int64)),
@@ -294,21 +291,75 @@ class MinHashStage:
                     np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
                 ),
                 "band_hash": pa.array(bhash.reshape(-1).view(np.int64)),
-                "sig": sig_list.take(rep),
             }
         )
 
 
+def _sig_list_array(sigs: np.ndarray) -> pa.ListArray:
+    """(n, MINHASH_PERMS) uint64 → list<int64> column, zero-copy values."""
+    n = sigs.shape[0]
+    return pa.ListArray.from_arrays(
+        pa.array(
+            np.arange(0, (n + 1) * MINHASH_PERMS, MINHASH_PERMS, dtype=np.int32)
+        ),
+        pa.array(sigs.reshape(-1).view(np.int64)),
+    )
+
+
+class MinHashSigStage:
+    """Actor-pool stage: text → (doc_id, 128-perm signature) only — the
+    signature side of the distributed candidate verification semi-join."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 n_shingle: int = 3):
+        self.a, self.b = _perm_params()
+        self.tok = Tokenizer("simple")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_shingle = n_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = batch_signatures(
+            batch[self.text_col], self.tok, self.a, self.b, self.n_shingle
+        )
+        return pa.table(
+            {"doc_id": batch[self.id_col].cast(pa.int64()),
+             "sig": _sig_list_array(sigs)}
+        )
+
+
+#: candidate graphs at or below this many pairs verify on the driver (one
+#: broadcast id set + one np.stack); beyond it the two-pass partitioned
+#: semi-join runs — same auto-gate pattern as the components path
+#: (doc_pipelines.q_minhash_components)
+MINHASH_DRIVER_VERIFY_MAX_PAIRS = 100_000
+
+
 def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
-                            id_col: str = "doc_id") -> Dataset:
+                            id_col: str = "doc_id",
+                            verify_mode: str = "auto",
+                            num_partitions: int = 32) -> Dataset:
     """LSH bucket groupby → candidate pairs (a < b) with signature Jaccard.
 
-    Signatures do NOT ride the banding shuffle: band rows are 24 bytes
+    Signatures do NOT ride the banding shuffle: band rows are 20 bytes
     (doc, band, hash) — shipping the 1 KB signature with every one of the
     32 band rows multiplied the exchange by ~40×. Buckets produce bare
-    candidate pairs; verification re-derives signatures for ONLY the docs
-    that appear in candidates via a broadcast-id semi-join (candidate
-    graphs are tiny relative to the corpus), then scores pairs vectorized.
+    candidate pairs; verification then scores each pair's signature overlap
+    by one of two paths (``verify_mode``):
+
+    - ``"driver"``: re-derive signatures for ONLY candidate docs via a
+      broadcast-id semi-join, stack and score on the driver. Fast while the
+      candidate graph fits one machine.
+    - ``"distributed"``: no driver materialization at all — signatures
+      stream from :class:`MinHashSigStage` through TWO hash-partitioned
+      semi-joins (co-partition pairs+sigs by ``a``, attach ``sig_a``
+      in-partition; re-partition by ``b``, attach and score in-partition,
+      emitting only (a, b, sig_jaccard)). The 100-TB path: a
+      boilerplate-heavy corpus makes the pair graph whole-dataset-class
+      (VERDICT round-2 item 1) and it never leaves the cluster here.
+    - ``"auto"`` (default): driver iff the pair count ≤
+      :data:`MINHASH_DRIVER_VERIFY_MAX_PAIRS`. Both paths are tested
+      identical.
     """
     import ray
 
@@ -357,13 +408,23 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
         .map_groups(pairs_partition, batch_format="pandas")
         .groupby(["a", "b"])  # same pair surfaces from multiple bands
         .aggregate(Count(alias_name="_nb"))
+        .materialize()  # small (bare pair keys); reused for count + verify
     )
-    pairs_df = cand.to_pandas()  # candidate graph — small by construction
-    if pairs_df.empty:
+    n_pairs = cand.count()
+    if n_pairs == 0:
         return ray.data.from_pandas(pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
              "sig_jaccard": pd.Series(dtype="float64")}
         ))
+    if verify_mode == "distributed" or (
+        verify_mode == "auto" and n_pairs > MINHASH_DRIVER_VERIFY_MAX_PAIRS
+    ):
+        return _score_pairs_distributed(
+            cand, docs, text_col, id_col, num_partitions
+        )
+
+    # ---- driver fast path: broadcast candidate-id set, stack, score ------
+    pairs_df = cand.to_pandas()
     needed = np.unique(np.concatenate([pairs_df["a"].to_numpy(),
                                        pairs_df["b"].to_numpy()]))
     needed_ref = ray.put(needed)
@@ -373,8 +434,7 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
 
         def __init__(self):
             self.need = ray.get(needed_ref)
-            self.a, self.b = _perm_params()
-            self.tok = Tokenizer("simple")
+            self.stage = MinHashSigStage(text_col=text_col, id_col=id_col)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b[id_col].to_numpy(zero_copy_only=False)
@@ -382,16 +442,7 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
             if not m.any():
                 return pa.table({"doc_id": pa.array([], pa.int64()),
                                  "sig": pa.array([], pa.list_(pa.int64()))})
-            sub = b.filter(pa.array(m))
-            sigs = batch_signatures(sub[text_col], self.tok, self.a, self.b)
-            n = sub.num_rows
-            sig_list = pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (n + 1) * MINHASH_PERMS, MINHASH_PERMS,
-                                   dtype=np.int32)),
-                pa.array(sigs.reshape(-1).view(np.int64)),
-            )
-            return pa.table({"doc_id": sub[id_col].cast(pa.int64()),
-                             "sig": sig_list})
+            return self.stage(b.filter(pa.array(m)))
 
     sig_df = docs.map_batches(
         SigFetch, batch_format="pyarrow", concurrency=(1, 8)
@@ -404,6 +455,109 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
         sig_jaccard=(sa == sb).mean(axis=1)
     )
     return ray.data.from_pandas(pairs_df.reset_index(drop=True))
+
+
+def _score_pairs_distributed(cand: Dataset, docs: Dataset, text_col: str,
+                             id_col: str, num_partitions: int) -> Dataset:
+    """Score candidate pairs WITHOUT driver materialization: two
+    hash-partitioned semi-joins of streamed signatures.
+
+    Pass 1 co-partitions pair rows (by ``hash(a)``) with signature rows (by
+    ``hash(doc_id)``) and attaches ``sig_a`` via an in-partition pandas hash
+    join; pass 2 re-partitions by ``b``, attaches ``sig_b`` the same way and
+    scores ``(sig_a == sig_b).mean()`` vectorized — signatures never leave
+    their partition unattached and the driver only ever sees the final
+    (a, b, sig_jaccard) rows the caller consumes.
+
+    Per-partition memory = |sigs| / num_partitions × 1 KB + matched pairs;
+    size ``num_partitions`` so that fits a worker heap (the caller exposes
+    it). Skew: a doc appearing in many pairs concentrates its partition —
+    acceptable because the attach is one C-level merge, not per-row Python.
+    """
+    import ray
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def _part_of(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            mixed = ids.astype(np.uint64) * _MIX
+        return ((mixed >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int64)
+
+    def _pair_rows(b: pa.Table, key: str) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part_id": pa.array(_part_of(a if key == "a" else bb)),
+            "side": pa.array(np.zeros(b.num_rows, np.int8)),
+            "a": pa.array(a.astype(np.int64)),
+            "b": pa.array(bb.astype(np.int64)),
+            "sig": (b["sig_a"].combine_chunks()
+                    if "sig_a" in b.column_names
+                    else pa.nulls(b.num_rows, pa.list_(pa.int64()))),
+        })
+
+    def _sig_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part_id": pa.array(_part_of(ids)),
+            "side": pa.array(np.ones(b.num_rows, np.int8)),
+            "a": pa.array(ids.astype(np.int64)),
+            "b": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "sig": b["sig"],
+        })
+
+    def _attach(g: pd.DataFrame, key: str, final: bool) -> pa.Table:
+        # pandas in (one C-level hash join), TYPED Arrow out — empty groups
+        # must still carry list<int64> schema or the downstream union breaks
+        pairs = g[g["side"] == 0]
+        sigs = g[g["side"] == 1][["a", "sig"]].rename(
+            columns={"a": "_k", "sig": "_sigk"}
+        )
+        merged = (
+            pairs.merge(sigs, left_on=key, right_on="_k", how="inner")
+            if not pairs.empty else pairs.iloc[0:0]
+        )
+        n = len(merged)
+        a_col = pa.array(
+            merged["a"].to_numpy(np.int64) if n else np.empty(0, np.int64))
+        b_col = pa.array(
+            merged["b"].to_numpy(np.int64) if n else np.empty(0, np.int64))
+        if final:
+            if n:
+                sa = np.stack(merged["sig"].to_numpy()).astype(np.int64)
+                sb = np.stack(merged["_sigk"].to_numpy()).astype(np.int64)
+                jac = (sa == sb).mean(axis=1)
+            else:
+                jac = np.empty(0, np.float64)
+            return pa.table(
+                {"a": a_col, "b": b_col, "sig_jaccard": pa.array(jac)})
+        sig_a = (
+            _sig_list_array(np.stack(merged["_sigk"].to_numpy()).astype(np.int64))
+            if n else pa.array([], pa.list_(pa.int64()))
+        )
+        return pa.table({"a": a_col, "b": b_col, "sig_a": sig_a})
+
+    sigs = docs.map_batches(
+        MinHashSigStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    pass1 = (
+        cand.map_batches(lambda b: _pair_rows(b, "a"), batch_format="pyarrow")
+        .union(sigs.map_batches(_sig_rows, batch_format="pyarrow"))
+        .groupby("part_id")
+        .map_groups(lambda g: _attach(g, "a", final=False),
+                    batch_format="pandas")
+    )
+
+    return (
+        pass1.map_batches(lambda b: _pair_rows(b, "b"), batch_format="pyarrow")
+        .union(sigs.map_batches(_sig_rows, batch_format="pyarrow"))
+        .groupby("part_id")
+        .map_groups(lambda g: _attach(g, "b", final=True),
+                    batch_format="pandas")
+    )
 
 
 def near_dup_components_ds(

@@ -794,16 +794,19 @@ def q_repo_fdo(sf_dir: str):
 
 def q_flatten_records(sf_dir: str):
     """M12 ES-doc flattening over the extraction output: DTR-renamed fields,
-    distinct-value collapse, always-as-list coercion (reference:
-    src/nmr_FAIR_DOs/connectors/elasticsearch.py:41-124). Returns the
-    SQL-comparable slice (pid, field, n_values, as_list)."""
+    dict-value ``key.subkey`` explosion, distinct-value collapse,
+    always-as-list coercion, and the per-record ``timestamp`` field
+    (reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:41-124).
+    Returns the SQL-comparable slice (pid, field, n_values, as_list); the
+    wall-clock timestamp fallback is pinned to the oracle's constant."""
+    from nmr_fair_dos_ray.oracle_extract import FLATTEN_NOW_ISO
     from nmr_fair_dos_ray.pipelines.records import flatten_records
 
     out = extract_records(_envelopes(sf_dir))
     entries = out.filter(expr="kind == 'entry'").select_columns(
         ["pid", "key", "name", "value_json"]
     )
-    flat = flatten_records(entries).select_columns(
+    flat = flatten_records(entries, now_iso=FLATTEN_NOW_ISO).select_columns(
         ["pid", "field", "n_values", "as_list"]
     )
     df = flat.to_pandas()

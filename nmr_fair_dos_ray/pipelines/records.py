@@ -40,7 +40,16 @@ DTR_NAMES = {
     "21.T11148/076759916209e5d62bd5": "kernelInformationProfile",
     KEY_PRIMARY_SOURCE: "hadPrimarySource",
     "21.T11148/1a73af9e7ae00182733b": "contact",
+    # inner compound-value keys (reference resolves these through the DTR
+    # like any other; names per the reference's own inline comments —
+    # nmrxiv.py:656-666 "molecular weight" / "PubChem-URL")
+    "21.T11969/6c4d3deac9a49b65886a": "molecularWeight",
+    "21.T11969/f9cb9b53273ce0da7739": "pubchemUrl",
 }
+
+#: dateCreated key — source of the flattened doc's ``timestamp`` field
+#: (reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:116-124).
+KEY_DATE_CREATED = "21.T11148/aafd5fb4c7222e2d950a"
 
 #: Keys whose flattened value is always a list
 #: (reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:38).
@@ -63,45 +72,156 @@ def dedup_merge(records: Dataset) -> Dataset:
 
 
 # --------------------------------------------------- M12: flatten + rename
-def flatten_records(records: Dataset) -> Dataset:
-    """ES-doc projection: DTR-renamed keys, repeated values collapsed to lists.
+def flatten_records(records: Dataset, now_iso: str | None = None) -> Dataset:
+    """ES-doc projection: DTR-renamed keys, dict values exploded to
+    ``key.subkey`` fields, repeated values collapsed to lists, and a
+    per-record ``timestamp`` field (dateCreated, else "now").
 
-    Reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:41-124. Output is
-    the long "searchable doc" table ``(pid, field, values: list<string>,
-    n_values, as_list)`` — key renaming via broadcast dict, list collapse via
-    one groupby; dynamic (open key set) so the wide form stays long.
+    Reference: src/nmr_FAIR_DOs/connectors/elasticsearch.py:41-124 — dict-
+    valued entries never surface under their own key; each non-null inner
+    (k, v) becomes ``f"{name(key)}.{name(k)}"`` (:87-106), and every doc is
+    stamped with ``timestamp`` = first dateCreated value or the wall clock
+    (:116-124). Pass ``now_iso`` to make the fallback deterministic (oracle
+    runs do); the reference's insertion-order list build is canonicalized to
+    sorted-distinct as everywhere else in this repo.
+
+    Output is the long "searchable doc" table ``(pid, field,
+    values: list<string>, n_values, as_list)``; dynamic (open key set) so
+    the wide form stays long. One coarse hash(pid) shuffle; the per-(pid,
+    field) collapse is ONE sort + run-boundary scan per partition — no
+    per-group Python (VERDICT round-2 item 2).
     """
+    import json as _json
+
+    if now_iso is None:
+        from datetime import datetime
+
+        now_iso = datetime.now().isoformat()
+    now_json = _json.dumps(now_iso)
 
     n_parts = 32
 
     def rename(batch: pa.Table) -> pa.Table:
-        keys = batch["key"].to_pylist()
-        fields = [DTR_NAMES.get(k, k) for k in keys]
-        batch = batch.append_column("field", pa.array(fields, pa.string()))
-        # ONE coarse shuffle key (pid hash): the (pid, field) groups resolve
-        # inside each partition with a vectorized pandas groupby — per-group
-        # map_groups overhead across n_records × n_fields tiny groups
-        # dominated this stage's wall time otherwise
         from nmr_fair_dos_ray.tokenizer import term_hash
 
-        part = (term_hash(batch["pid"].combine_chunks() if isinstance(
-            batch["pid"], pa.ChunkedArray) else batch["pid"])
-            % np.uint64(n_parts)).astype(np.int64)
-        return batch.append_column("part_id", pa.array(part))
+        keys = batch["key"].to_pylist()
+        fields = np.array([DTR_NAMES.get(k, k) for k in keys], object)
+        vj_col = (batch["value_json"].combine_chunks()
+                  if isinstance(batch["value_json"], pa.ChunkedArray)
+                  else batch["value_json"])
+        is_dict = pc.starts_with(vj_col, "{").to_numpy(zero_copy_only=False)
+        pid_col = (batch["pid"].combine_chunks()
+                   if isinstance(batch["pid"], pa.ChunkedArray)
+                   else batch["pid"])
+        if is_dict.any():
+            # dict-valued rows are the rare case (compound values): only
+            # they pay the per-row JSON parse; scalars stay vectorized
+            pids_py = pid_col.to_pylist()
+            vals_py = vj_col.to_pylist()
+            keep = ~is_dict
+            out_pid = list(np.asarray(pids_py, object)[keep])
+            out_field = list(fields[keep])
+            out_val = list(np.asarray(vals_py, object)[keep])
+            for i in np.flatnonzero(is_dict):
+                try:
+                    d = _json.loads(vals_py[i])
+                except (ValueError, TypeError):
+                    d = None
+                if not isinstance(d, dict):  # defensive: treat as scalar
+                    out_pid.append(pids_py[i])
+                    out_field.append(fields[i])
+                    out_val.append(vals_py[i])
+                    continue
+                for k, v in d.items():
+                    if v is None:
+                        continue
+                    out_pid.append(pids_py[i])
+                    out_field.append(f"{fields[i]}.{DTR_NAMES.get(k, k)}")
+                    out_val.append(_json.dumps(v, separators=(",", ":")))
+            pid_arr = pa.array(out_pid, pa.string())
+            field_arr = pa.array(out_field, pa.string())
+            val_arr = pa.array(out_val, pa.string())
+        else:
+            pid_arr = pid_col
+            field_arr = pa.array(fields, pa.string())
+            val_arr = vj_col
+        # ONE coarse shuffle key (pid hash): the (pid, field) groups resolve
+        # inside each partition — per-group map_groups overhead across
+        # n_records × n_fields tiny groups dominated this stage otherwise
+        part = (term_hash(pid_arr) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "part_id": pa.array(part),
+            "pid": pid_arr,
+            "field": field_arr,
+            "value_json": val_arr,
+        })
 
     renamed = records.map_batches(rename, batch_format="pyarrow")
 
-    def collapse_partition(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (pid, field), grp in g.groupby(["pid", "field"], sort=False):
-            vals = sorted(set(grp["value_json"].tolist()))
-            rows.append(
-                (pid, field, vals, len(vals),
-                 field in ALWAYS_AS_LIST or len(vals) > 1)
-            )
-        return pd.DataFrame(
-            rows, columns=["pid", "field", "values", "n_values", "as_list"]
+    def collapse_partition(g: pd.DataFrame) -> pa.Table:
+        # vectorized collapse: one sort, run boundaries by shift-compare,
+        # list column via ListArray offsets (pattern: relational.py
+        # sessionization) — replaces the per-(pid, field) Python loop
+        sub = g[["pid", "field", "value_json"]].drop_duplicates()
+        sub = sub.sort_values(["pid", "field", "value_json"])
+        n = len(sub)
+        if n == 0:
+            return pa.table({
+                "pid": pa.array([], pa.string()),
+                "field": pa.array([], pa.string()),
+                "values": pa.array([], pa.list_(pa.string())),
+                "n_values": pa.array([], pa.int64()),
+                "as_list": pa.array([], pa.bool_()),
+            })
+        pidv = sub["pid"].to_numpy()
+        fld = sub["field"].to_numpy()
+        val = sub["value_json"].to_numpy()
+        newgrp = np.ones(n, bool)
+        newgrp[1:] = (pidv[1:] != pidv[:-1]) | (fld[1:] != fld[:-1])
+        starts = np.flatnonzero(newgrp)
+        counts = np.diff(np.append(starts, n))
+        g_pid, g_fld = pidv[starts], fld[starts]
+        # timestamp per pid: first (= min, runs are sorted) dateCreated
+        # value, else the injected/now fallback — all of a pid's rows are in
+        # this partition because the shuffle key is hash(pid)
+        pid_starts = np.ones(len(starts), bool)
+        pid_starts[1:] = g_pid[1:] != g_pid[:-1]
+        uniq_pids = g_pid[pid_starts]
+        dc = g_fld == "dateCreated"
+        dc_pids, dc_vals = g_pid[dc], val[starts[dc]]
+        ts_vals = np.full(len(uniq_pids), now_json, object)
+        if dc_pids.size:
+            idx = np.searchsorted(dc_pids, uniq_pids)
+            idx_c = np.minimum(idx, dc_pids.size - 1)
+            has = dc_pids[idx_c] == uniq_pids
+            ts_vals[has] = dc_vals[idx_c[has]]
+        # assemble: collapsed runs then one timestamp row per pid
+        offsets = np.concatenate(
+            [starts, n + np.arange(len(uniq_pids) + 1)]
+        ).astype(np.int32)
+        values = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(np.concatenate([val, ts_vals]), pa.string()),
         )
+        as_list = np.isin(g_fld, sorted(ALWAYS_AS_LIST)) | (counts > 1)
+        return pa.table({
+            "pid": pa.array(np.concatenate([g_pid, uniq_pids]), pa.string()),
+            "field": pa.array(
+                np.concatenate(
+                    [g_fld, np.full(len(uniq_pids), "timestamp", object)]
+                ),
+                pa.string(),
+            ),
+            "values": values,
+            "n_values": pa.array(
+                np.concatenate(
+                    [counts, np.ones(len(uniq_pids), np.int64)]
+                ).astype(np.int64)
+            ),
+            "as_list": pa.array(
+                np.concatenate([as_list, np.zeros(len(uniq_pids), bool)])
+            ),
+        })
 
     return renamed.groupby("part_id").map_groups(
         collapse_partition, batch_format="pandas"

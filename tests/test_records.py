@@ -48,6 +48,45 @@ def test_flatten_rename_and_lists(records_ds):
     assert (multi["values"].map(len) == multi["n_values"]).all()
 
 
+def test_flatten_dict_explosion_and_timestamp():
+    """M12 parity (elasticsearch.py:87-124): dict values explode to
+    key.subkey fields (nulls skipped, the outer key never surfaces), every
+    pid gains a timestamp = first dateCreated value or the injected now."""
+    import pyarrow as pa
+
+    from nmr_fair_dos_ray.pipelines.records import KEY_DATE_CREATED
+
+    compound_key = "21.T11969/d15381199a44a16dc88d"
+    rows = [
+        # p1: compound dict (one null inner value) + dateCreated
+        ("p1", compound_key, None,
+         '{"21.T11969/6c4d3deac9a49b65886a":2.5,'
+         '"21.T11969/f9cb9b53273ce0da7739":"https://u","x":null}'),
+        ("p1", KEY_DATE_CREATED, None, '"2020-05-06T07:08:09"'),
+        ("p1", "21.T11148/6ae999552a0d2dca14d6", None, '"somename"'),
+        # p2: no dateCreated → injected now
+        ("p2", "21.T11148/6ae999552a0d2dca14d6", None, '"other"'),
+    ]
+    t = pa.table({
+        "pid": pa.array([r[0] for r in rows]),
+        "key": pa.array([r[1] for r in rows]),
+        "name": pa.array([r[2] for r in rows], pa.string()),
+        "value_json": pa.array([r[3] for r in rows]),
+    })
+    flat = flatten_records(
+        rd.from_arrow(t), now_iso="2026-01-01T00:00:00"
+    ).to_pandas().set_index(["pid", "field"]).sort_index()
+
+    assert (("p1", compound_key) not in flat.index
+            and ("p1", "characterizedCompound") not in flat.index)
+    assert list(flat.loc[("p1", "characterizedCompound.molecularWeight"), "values"]) == ["2.5"]
+    assert list(flat.loc[("p1", "characterizedCompound.pubchemUrl"), "values"]) == ['"https://u"']
+    assert not any(f.endswith(".x") for _, f in flat.index)  # null skipped
+    assert list(flat.loc[("p1", "timestamp"), "values"]) == ['"2020-05-06T07:08:09"']
+    assert list(flat.loc[("p2", "timestamp"), "values"]) == ['"2026-01-01T00:00:00"']
+    assert flat.loc[("p1", "timestamp"), "as_list"] == False  # noqa: E712
+
+
 def test_argmax_reductions(records_ds):
     raw = records_ds.to_pandas()
     # oracle via pandas
