@@ -140,39 +140,40 @@ class Edge:
 
 
 # ------------------------------------------------- T2/J5: terminology cache
-#: Offline stand-in for the reference's terminology service
-#: (src/nmr_FAIR_DOs/connectors/terminology.py:30-330): ontology search
-#: restricted to a parent term. Public CHEBI identifiers; static because the
-#: sandbox has no network — the lookup PATTERN (broadcast vocab + per-actor
-#: memo cache, cache-first semi-join) is what reproduces T2/J5.
-PARENT_NMR_SOLVENT = "http://purl.obolibrary.org/obo/CHEBI_197449"
-PARENT_ATOM = "http://purl.obolibrary.org/obo/CHEBI_33250"
-
-TERMINOLOGY_VOCAB: dict[tuple[str, str, str], str] = {
-    ("chebi", PARENT_NMR_SOLVENT, "cdcl3"): "http://purl.obolibrary.org/obo/CHEBI_85365",
-    ("chebi", PARENT_NMR_SOLVENT, "dmso-d6"): "http://purl.obolibrary.org/obo/CHEBI_91502",
-    ("chebi", PARENT_NMR_SOLVENT, "d2o"): "http://purl.obolibrary.org/obo/CHEBI_41981",
-    ("chebi", PARENT_ATOM, "1h"): "http://purl.obolibrary.org/obo/CHEBI_49637",
-    ("chebi", PARENT_ATOM, "13c"): "http://purl.obolibrary.org/obo/CHEBI_36928",
-}
+#: Offline analog of the reference's terminology service
+#: (src/nmr_FAIR_DOs/connectors/terminology.py:30-330): exact-label search
+#: over an ontology GRAPH, candidates validated per ontology
+#: (validateCHEBI) and disambiguated via the _findParent child-enumeration
+#: heuristic — full search/validate/disambiguate depth, offline because the
+#: sandbox has no network. The graph is broadcast once; the memo cache lives
+#: per actor (cache-first semi-join pattern).
+from nmr_fair_dos_ray.state.ontology import (  # noqa: E402
+    PARENT_ATOM,
+    PARENT_NMR_SOLVENT,
+    OntologySearcher,
+    default_ontology,
+)
 
 
 class TerminologyLookup:
-    """Stateful vocabulary lookup: broadcast table + per-actor memoization.
+    """Stateful ontology lookup: broadcast graph + per-actor memoization.
 
     Reference: src/nmr_FAIR_DOs/connectors/terminology.py:30-330 caches
-    remote ontology searches in instance state; here the vocab is a broadcast
-    dict and the memo cache lives for the actor's lifetime, so repeated terms
-    (Zipf-distributed in real corpora) never re-probe the table."""
+    remote ontology searches in instance state; here the ontology graph is
+    broadcast-shareable plain data and the memo cache lives for the actor's
+    lifetime, so repeated terms (Zipf-distributed in real corpora) never
+    re-run search/validate/disambiguate."""
 
-    def __init__(self, vocab: dict | None = None):
-        self._vocab = vocab if vocab is not None else TERMINOLOGY_VOCAB
+    def __init__(self, searcher: OntologySearcher | None = None):
+        self._searcher = searcher if searcher is not None else default_ontology()
         self._memo: dict[tuple[str, str, str], str | None] = {}
 
     def search(self, term: str, ontology: str, parent: str) -> str | None:
         k = (ontology, parent, term.strip().lower())
         if k not in self._memo:
-            self._memo[k] = self._vocab.get(k)
+            self._memo[k] = self._searcher.search_for_term(
+                term, ontology, parent
+            )
         return self._memo[k]
 
 

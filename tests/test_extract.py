@@ -127,10 +127,102 @@ def test_nmrxiv_dataset_name_rewrite_and_formula():
 
 
 def test_terminology_lookup_memoizes():
-    t = TerminologyLookup({("o", "p", "x"): "URL"})
+    from nmr_fair_dos_ray.state.ontology import OntologySearcher
+
+    s = OntologySearcher(
+        {"URL": {"label": "x", "ontology": "o"},
+         "p": {"label": "parent", "ontology": "o"}},
+        {"p": ["URL"]},
+    )
+    t = TerminologyLookup(s)
     assert t.search("X ", "o", "p") == "URL"
     assert t.search("miss", "o", "p") is None
     assert ("o", "p", "miss") in t._memo  # negative result cached too
+
+
+def test_ontology_search_validate_disambiguate():
+    """Port-parity tests for terminology.py:77-330: CHEBI node validation,
+    single-survivor return, _findParent candidate-containment then
+    most-children disambiguation, allChildrenOf restriction, query cache."""
+    from nmr_fair_dos_ray.state.ontology import (
+        OntologySearcher, default_ontology, validate_chebi,
+    )
+
+    FORMULA = "http://purl.obolibrary.org/obo/chebi/formula"
+    MASS = "http://purl.obolibrary.org/obo/chebi/mass"
+
+    # validateCHEBI: any of the 5 chemical property keys ⇒ valid
+    assert validate_chebi({FORMULA: "CHCl3"})
+    assert validate_chebi({MASS: "1.008"})
+    assert not validate_chebi({"label": "deprecated thing"})
+
+    # the default graph: label collision where one candidate fails
+    # validation → exactly the valid node wins (reference ignores invalid
+    # entities before disambiguation, terminology.py:160-168)
+    ont = default_ontology()
+    from nmr_fair_dos_ray.state.ontology import PARENT_NMR_SOLVENT
+    assert ont.search_for_term("CDCl3", "chebi", PARENT_NMR_SOLVENT) \
+        == "http://purl.obolibrary.org/obo/CHEBI_85365"
+
+    # ambiguity resolved by candidate-containment: parent candidate has the
+    # other candidate among its direct children
+    nodes = {
+        "iri:benzene": {"label": "benzene", "ontology": "chebi", FORMULA: "C6H6"},
+        "iri:benzene-child": {"label": "benzene", "ontology": "chebi", FORMULA: "C6H6"},
+        "root": {"label": "root", "ontology": "chebi"},
+    }
+    children = {
+        "root": ["iri:benzene", "iri:benzene-child"],
+        "iri:benzene": ["iri:benzene-child"],
+    }
+    s = OntologySearcher(nodes, children)
+    assert s.search_for_term("benzene", "chebi", "root") == "iri:benzene"
+
+    # ambiguity with no containment: most children wins
+    nodes2 = {
+        "iri:a": {"label": "t", "ontology": "chebi", FORMULA: "X"},
+        "iri:b": {"label": "t", "ontology": "chebi", FORMULA: "Y"},
+        "root": {"label": "root", "ontology": "chebi"},
+        "k1": {"label": "k1", "ontology": "chebi"},
+        "k2": {"label": "k2", "ontology": "chebi"},
+        "k3": {"label": "k3", "ontology": "chebi"},
+    }
+    children2 = {"root": ["iri:a", "iri:b"], "iri:a": ["k1"],
+                 "iri:b": ["k2", "k3"]}
+    s2 = OntologySearcher(nodes2, children2)
+    assert s2.search_for_term("t", "chebi", "root") == "iri:b"
+
+    # no children anywhere → _findParent returns None → search returns None
+    nodes3 = {
+        "iri:a": {"label": "t", "ontology": "chebi", FORMULA: "X"},
+        "iri:b": {"label": "t", "ontology": "chebi", FORMULA: "Y"},
+        "root": {"label": "root", "ontology": "chebi"},
+    }
+    s3 = OntologySearcher(nodes3, {"root": ["iri:a", "iri:b"]})
+    assert s3.search_for_term("t", "chebi", "root") is None
+
+    # allChildrenOf restriction is transitive and excludes non-descendants
+    nodes4 = {
+        "iri:deep": {"label": "q", "ontology": "chebi", FORMULA: "Z"},
+        "iri:outside": {"label": "q", "ontology": "chebi", FORMULA: "W"},
+        "mid": {"label": "mid", "ontology": "chebi"},
+        "root": {"label": "root", "ontology": "chebi"},
+    }
+    s4 = OntologySearcher(
+        nodes4, {"root": ["mid"], "mid": ["iri:deep"]}
+    )
+    assert s4.search_for_term("q", "chebi", "root") == "iri:deep"
+    # fresh searcher (the query cache is query-keyed): unrestricted search is
+    # ambiguous with no children anywhere → None
+    s4b = OntologySearcher(nodes4, {"root": ["mid"], "mid": ["iri:deep"]})
+    assert s4b.search_for_term("q", "chebi", None) is None
+
+    # cache is query-keyed (reference quirk, terminology.py:111-114):
+    # a second call returns the cached IRI even if the graph changed
+    s5 = default_ontology()
+    got = s5.search_for_term("D2O", "chebi", PARENT_NMR_SOLVENT)
+    s5._by_label.clear()
+    assert s5.search_for_term("D2O", "chebi", PARENT_NMR_SOLVENT) == got
 
 
 def test_sample_edges_push_previews_and_compounds():
