@@ -205,6 +205,81 @@ def run_bench() -> dict:
     return result
 
 
+def run_append_bench() -> dict:
+    """K1 analog benchmark: append 10% new files to an existing index via
+    ``build_index(..., resume=True)`` (identity-matched partition carryover)
+    vs a full from-scratch rebuild over the same 100% corpus. Also asserts
+    post-append search equivalence against the rebuild (bit-identical BMW
+    top-k) — numbers recorded in BASELINE.md."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from nmr_fair_dos_ray.fixtures import fixture_dir
+    from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+    from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+
+    fx = fixture_dir("sf-bench")
+    t = pq.read_table(fx["corpus"])
+    base = "/tmp/nmr_fair_dos_ray/bench_append"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/grow", exist_ok=True)
+    n = t.num_rows
+    n90 = int(n * 0.9)
+    pq.write_table(t.slice(0, n90), f"{base}/grow/a.parquet", row_group_size=2000)
+    cfg = IndexConfig(
+        token_cols=("path", "lang"), field_cols=("repo", "path", "lang"),
+        stored_cols=("repo", "path", "commit", "lang"), num_shards=64,
+    )
+    # untimed warmup (page-fault warm workers, see run_bench)
+    build_index(f"{base}/grow", f"{base}/idx_warm", cfg)
+    shutil.rmtree(f"{base}/idx_warm", ignore_errors=True)
+
+    t0 = time.time()
+    build_index(f"{base}/grow", f"{base}/idx", cfg)
+    t_initial = time.time() - t0
+
+    # append the 10% tail (file named to sort after the existing one)
+    pq.write_table(t.slice(n90, n - n90), f"{base}/grow/b.parquet",
+                   row_group_size=2000)
+    t0 = time.time()
+    man = build_index(f"{base}/grow", f"{base}/idx", cfg, resume=True)
+    t_append = time.time() - t0
+
+    t0 = time.time()
+    build_index(f"{base}/grow", f"{base}/idx_full", cfg)
+    t_full = time.time() - t0
+
+    # post-append equivalence: appended index ≡ from-scratch build
+    sa = Searcher(IndexReader(f"{base}/idx"))
+    sf_ = Searcher(IndexReader(f"{base}/idx_full"))
+    queries = [r["query"] for r in pq.read_table(fx["queries"]).to_pylist()]
+    mismatches = sum(
+        sa.search(q, k=10, algorithm="bmw") != sf_.search(q, k=10, algorithm="bmw")
+        for q in queries
+    )
+    ray.shutdown()
+    return {
+        "metric": "append_vs_rebuild_wall_sec",
+        "n_docs": int(man["stats"]["n_docs"]),
+        "initial_build_90pct_sec": round(t_initial, 3),
+        "append_10pct_sec": round(t_append, 3),
+        "full_rebuild_sec": round(t_full, 3),
+        "append_speedup_vs_rebuild": round(t_full / t_append, 2),
+        "search_mismatches": int(mismatches),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling() -> dict:
     """Same job at N and 4N CPUs in fresh processes, two pairs: 2→8 and
     8→32. The sandbox VM's aggregate memory bandwidth saturates around 8
@@ -281,5 +356,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--append" in sys.argv:
+        print(json.dumps(run_append_bench()))
     else:
         print(json.dumps(run_bench()))

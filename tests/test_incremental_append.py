@@ -63,6 +63,10 @@ def test_append_reuses_invert_and_matches_full_build(corpus_dirs):
     sg, sf_ = Searcher(rg), Searcher(rf)
     for q in ("def return config", "getUserName merge", "data_loader"):
         assert sg.search(q, k=10) == sf_.search(q, k=10)
+        # post-append BMW top-k must be bit-identical to the from-scratch
+        # build's (block bounds are rebuilt in the merge, not carried over)
+        assert sg.search(q, k=10, algorithm="bmw") \
+            == sf_.search(q, k=10, algorithm="bmw")
 
 
 def test_mid_order_insert_degrades_to_full_rebuild(corpus_dirs):
