@@ -163,6 +163,7 @@ class Phase1Invert:
 
     def _one(self, item: dict) -> dict:
         t0 = time.time()
+        c0 = time.process_time()
         cfg = self.cfg
         t = read_work_item(item, columns=self._read_columns())
         n = t.num_rows
@@ -288,6 +289,10 @@ class Phase1Invert:
             "df_path": df_path,
             "bytes": int(os.path.getsize(run_path) + os.path.getsize(docs_path)),
             "wall_sec": time.time() - t0,
+            # per-task CPU (whole worker process incl. arrow threads): the
+            # wall/CPU pair per stage is what distinguishes "engine got
+            # slower" from "host inflated per-task CPU" in scaling runs
+            "cpu_sec": time.process_time() - c0,
         }
 
 
@@ -580,7 +585,15 @@ def build_index(
         "k1": cfg.k1,
         "b": cfg.b,
     }
-    man.mark_stage("invert", status="done", wall_sec=time.time() - t0)
+    _task_sums = {
+        f"task_{name}_sum": round(
+            # nansum: resumed logs may carry null metrics from older sessions
+            float(np.nansum(parts_tbl[c].to_numpy(zero_copy_only=False))), 3
+        )
+        for name, c in (("wall", "wall_sec"), ("cpu", "cpu_sec"))
+        if c in parts_tbl.column_names
+    }
+    man.mark_stage("invert", status="done", wall_sec=time.time() - t0, **_task_sums)
     # doc-contiguity of hot run-buckets requires WORK-ITEM order, not path
     # order: 'run_1000000' sorts lexicographically before 'run_999999', which
     # would break bucket doc-range disjointness past 10^6 work items
@@ -679,6 +692,7 @@ def build_index(
             rows = []
             for it in batch.to_pylist():
                 t0m = time.time()
+                c0m = time.process_time()
                 pid = int(it["pid"])
                 if it["kind"] == "cold":
                     g = pads.dataset(run_paths).to_table(
@@ -706,6 +720,7 @@ def build_index(
                         "bytes": int(os.path.getsize(path)),
                         "path": path,
                         "wall_sec": time.time() - t0m,
+                        "cpu_sec": time.process_time() - c0m,
                     }
                 )
             return pa.Table.from_pylist(rows)
@@ -714,9 +729,16 @@ def build_index(
         res = rd.from_items(todo_merge).map_batches(merge_task, **kwargs2).take_all()
         for r in res:
             man.mark_partition("shards", r["shard_id"], **{
-                k: r[k] for k in ("n_terms", "n_postings", "bytes", "path", "wall_sec")
+                k: r[k]
+                for k in ("n_terms", "n_postings", "bytes", "path", "wall_sec",
+                          "cpu_sec")
             })
-        man.mark_stage("shards", status="done", wall_sec=time.time() - t1)
+        parts = man.partitions("shards").values()
+        man.mark_stage(
+            "shards", status="done", wall_sec=time.time() - t1,
+            task_wall_sum=round(sum(p.get("wall_sec", 0.0) for p in parts), 3),
+            task_cpu_sum=round(sum(p.get("cpu_sec", 0.0) for p in parts), 3),
+        )
     elif not man.stage_done("shards"):
         man.mark_stage("shards", status="done", wall_sec=0.0)  # nothing to do
 

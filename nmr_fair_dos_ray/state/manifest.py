@@ -173,7 +173,9 @@ class PartitionLog:
         if cols is not None and "work_item_id" not in cols:
             cols = ["work_item_id", *cols]
         tables = [pq.read_table(f, columns=cols) for f in files]
-        t = pa.concat_tables(tables)
+        # permissive: sessions written by different engine versions may add
+        # metric columns (e.g. cpu_sec) — missing ones become nulls
+        t = pa.concat_tables(tables, promote_options="permissive")
         wi = t["work_item_id"].to_numpy(zero_copy_only=False)
         # keep the LAST occurrence per work item (files are session-ordered)
         last = {}
