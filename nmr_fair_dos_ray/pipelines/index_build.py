@@ -89,6 +89,20 @@ class IndexConfig:
     salt_hot_terms: bool = True
     hot_df_threshold: int | None = None  # None → max(1024, n_docs // 8)
     n_salts: int = 8
+    # ---- champion lists (static-pruning experiment, VERDICT r2 item 8) ----
+    # champion_m > 0 stores, per term, the doc_ids + stored tf_norm of its
+    # top-m postings by impact (BM25 tf-norm; idf is constant within a term
+    # so the order is global). At query time the searcher floors block-max
+    # WAND's top-k threshold from the champions' exact per-term contributions
+    # BEFORE traversal — results stay bit-identical (the floor is a proven
+    # lower bound; see search/engine.py Searcher docstring), but early ranges
+    # prune instead of being scored. Terms with df < champion_df_min store no
+    # champions: the Zipf tail (df ≤ m) would duplicate its entire posting
+    # list for lists BMW traverses in 1-2 blocks anyway — measured at sf0.1,
+    # the cutoff shrinks champion storage ~8× at identical p50.
+    # champion_df_min=None → auto (4 * champion_m).
+    champion_m: int = 0
+    champion_df_min: int | None = None
 
     def to_dict(self) -> dict:
         return {
@@ -105,7 +119,17 @@ class IndexConfig:
             "salt_hot_terms": self.salt_hot_terms,
             "hot_df_threshold": self.hot_df_threshold,
             "n_salts": self.n_salts,
+            "champion_m": self.champion_m,
+            "champion_df_min": self.champion_df_min,
         }
+
+    @property
+    def champ_df_min(self) -> int:
+        return (
+            self.champion_df_min
+            if self.champion_df_min is not None
+            else 4 * self.champion_m
+        )
 
 
 BLOCK_TYPE = pa.struct(
@@ -349,8 +373,39 @@ _EMPTY_SHARD = pa.schema(
      ("cf", pa.int64()), ("blocks", pa.list_(BLOCK_TYPE))]
 )
 
+_CHAMP_FIELDS = [
+    ("champ_docs", pa.list_(pa.int64())),
+    ("champ_tfn", pa.list_(pa.float64())),
+]
 
-def build_group_table(group: pa.Table, cfg: IndexConfig, n_docs: int, avgdl: float) -> pa.Table:
+
+def _top_m_per_segment(
+    doc_ids: np.ndarray, tfn: np.ndarray, counts: np.ndarray, m: int,
+    seg_df: np.ndarray | None = None, df_min: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Indices of each segment's top-m elements by (tfn desc, doc asc), plus
+    the per-segment champion counts — one global lexsort, no per-term loop.
+
+    Segments are contiguous runs of ``counts`` elements (term order).
+    Segments whose df (``seg_df``, default ``counts``) is below ``df_min``
+    get an EMPTY champion list — the Zipf tail isn't worth the bytes.
+    """
+    n = doc_ids.size
+    if seg_df is None:
+        seg_df = counts
+    seg = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    order = np.lexsort((doc_ids, -tfn, seg))  # primary: seg, then tfn desc
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    eligible = np.repeat(seg_df >= df_min, counts)
+    take = order[(pos < m) & eligible]
+    return take, np.where(seg_df >= df_min, np.minimum(counts, m), 0)
+
+
+def build_group_table(
+    group: pa.Table, cfg: IndexConfig, n_docs: int, avgdl: float,
+    hot_part: bool = False,
+) -> pa.Table:
     """Merge+compress one group of postings (columns term/term_hash/doc_id/
     tf/doclen) into a shard table: sort (term, doc_id) once, slice per term
     via dictionary change points, encode every block in one vectorized pass.
@@ -361,7 +416,11 @@ def build_group_table(group: pa.Table, cfg: IndexConfig, n_docs: int, avgdl: flo
     rewrite, not a posting decode).
     """
     if group.num_rows == 0:
-        return _EMPTY_SHARD.empty_table()
+        schema = _EMPTY_SHARD
+        if cfg.champion_m > 0:
+            for name, typ in _CHAMP_FIELDS:
+                schema = schema.append(pa.field(name, typ))
+        return schema.empty_table()
     idx = pc.sort_indices(
         group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
     )
@@ -388,15 +447,37 @@ def build_group_table(group: pa.Table, cfg: IndexConfig, n_docs: int, avgdl: flo
         doc_ids, tfs, doclens, counts, idfs,
         cfg.k1, cfg.b, avgdl, block_size=cfg.block_size,
     )
-    return pa.table(
-        {
-            "term": terms.take(pa.array(starts)),
-            "term_hash": pa.array(hashes[starts], pa.int64()),
-            "df": pa.array(counts, pa.int64()),
-            "cf": pa.array(np.add.reduceat(tfs, starts), pa.int64()),
-            "blocks": blocks_list,
-        }
-    )
+    cols = {
+        "term": terms.take(pa.array(starts)),
+        "term_hash": pa.array(hashes[starts], pa.int64()),
+        "df": pa.array(counts, pa.int64()),
+        "cf": pa.array(np.add.reduceat(tfs, starts), pa.int64()),
+        "blocks": blocks_list,
+    }
+    if cfg.champion_m > 0:
+        # champion lists: per term, the doc_ids of the top-m postings by
+        # impact (tf_norm; idf constant per term ⇒ same order as BM25 score).
+        # tfn is stored too so salted hot-term parts can be re-merged by
+        # impact without decoding postings (merge_hot_parts).
+        from nmr_fair_dos_ray.search.bm25 import bm25_tf_norm
+
+        tfn = bm25_tf_norm(tfs, doclens, cfg.k1, cfg.b, avgdl)
+        # hot doc-range parts see only partial df, so the Zipf-tail cutoff is
+        # deferred to merge_hot_parts where global df is known.
+        take, c_counts = _top_m_per_segment(
+            doc_ids, tfn, counts, cfg.champion_m,
+            df_min=0 if hot_part else cfg.champ_df_min,
+        )
+        offs = pa.array(
+            np.concatenate([[0], np.cumsum(c_counts)]).astype(np.int32), pa.int32()
+        )
+        cols["champ_docs"] = pa.ListArray.from_arrays(
+            offs, pa.array(doc_ids[take], pa.int64())
+        )
+        cols["champ_tfn"] = pa.ListArray.from_arrays(
+            offs, pa.array(tfn[take], pa.float64())
+        )
+    return pa.table(cols)
 
 
 def build_index(
@@ -710,7 +791,9 @@ def build_index(
                         filter=pc.field("term_hash").isin(hot_list),
                     )
                     path = os.path.join(hotparts_dir, f"part_{pid:06d}.parquet")
-                shard_table = build_group_table(g, cfg, n_docs, avgdl)
+                shard_table = build_group_table(
+                    g, cfg, n_docs, avgdl, hot_part=(it["kind"] != "cold")
+                )
                 _atomic_write_parquet(shard_table, path)
                 rows.append(
                     {
@@ -748,7 +831,10 @@ def build_index(
     )
     if hot_sorted.size and not hotmerge_complete:
         t2 = time.time()
-        out_path = merge_hot_parts(hotparts_dir, shards_dir, n_docs)
+        out_path = merge_hot_parts(
+            hotparts_dir, shards_dir, n_docs, champion_m=cfg.champion_m,
+            champ_df_min=cfg.champ_df_min,
+        )
         man.mark_stage(
             "hotmerge", status="done", n_hot=int(hot_sorted.size),
             path=out_path, wall_sec=time.time() - t2,
@@ -775,7 +861,10 @@ def build_index(
     return man.data
 
 
-def merge_hot_parts(hotparts_dir: str, shards_dir: str, n_docs: int) -> str | None:
+def merge_hot_parts(
+    hotparts_dir: str, shards_dir: str, n_docs: int, champion_m: int = 0,
+    champ_df_min: int = 0,
+) -> str | None:
     """Concatenate each hot term's salted doc-range parts into one final
     posting list with globally-correct df/idf/max_score.
 
@@ -841,17 +930,45 @@ def merge_hot_parts(hotparts_dir: str, shards_dir: str, n_docs: int) -> str | No
                "docs", "tfs"],
     )
     new_offsets = np.concatenate([[0], np.cumsum(blocks_per_term)]).astype(np.int32)
-    out = pa.table(
-        {
-            "term": t["term"].combine_chunks().take(pa.array(starts)),
-            "term_hash": pa.array(th[starts], pa.int64()),
-            "df": pa.array(df_tot, pa.int64()),
-            "cf": pa.array(cf_tot, pa.int64()),
-            "blocks": pa.ListArray.from_arrays(
-                pa.array(new_offsets, pa.int32()), new_flat
-            ),
-        }
-    )
+    cols = {
+        "term": t["term"].combine_chunks().take(pa.array(starts)),
+        "term_hash": pa.array(th[starts], pa.int64()),
+        "df": pa.array(df_tot, pa.int64()),
+        "cf": pa.array(cf_tot, pa.int64()),
+        "blocks": pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), new_flat
+        ),
+    }
+    if champion_m > 0 and "champ_docs" in t.column_names:
+        # champion re-merge: each salted part kept its top-m by impact over a
+        # disjoint doc range (so no duplicate docs per term); the global
+        # top-m is the top-m of the per-part champions' union — pure metadata
+        # work on ≤ m × parts values per term, postings never decoded.
+        cd = t["champ_docs"].combine_chunks()
+        ct = t["champ_tfn"].combine_chunks()
+        per_row = np.diff(cd.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        flat_docs = cd.flatten().to_numpy(zero_copy_only=False)
+        flat_tfn = ct.flatten().to_numpy(zero_copy_only=False)
+        term_of_row = np.cumsum(
+            np.concatenate([[0], (th[1:] != th[:-1]).astype(np.int64)])
+        )
+        seg_counts = np.bincount(
+            np.repeat(term_of_row, per_row), minlength=starts.size
+        ).astype(np.int64)
+        take, c_counts = _top_m_per_segment(
+            flat_docs, flat_tfn, seg_counts, champion_m,
+            seg_df=df_tot, df_min=champ_df_min,
+        )
+        c_offs = pa.array(
+            np.concatenate([[0], np.cumsum(c_counts)]).astype(np.int32), pa.int32()
+        )
+        cols["champ_docs"] = pa.ListArray.from_arrays(
+            c_offs, pa.array(flat_docs[take], pa.int64())
+        )
+        cols["champ_tfn"] = pa.ListArray.from_arrays(
+            c_offs, pa.array(flat_tfn[take], pa.float64())
+        )
+    out = pa.table(cols)
     path = os.path.join(shards_dir, "shard_hot.parquet")
     _atomic_write_parquet(out, path)
     return path

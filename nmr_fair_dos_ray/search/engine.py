@@ -148,7 +148,20 @@ class IndexReader:
                     t = t.filter(pa.array(mine))
                 tables.append(t)
         t = pa.concat_tables(tables).combine_chunks() if tables else None
-        st: dict = {"manifest": manifest}
+        st: dict = {"manifest": manifest, "c_off": None, "c_docs": None}
+        st["c_tfn"] = None
+        if t is not None and "champ_docs" in t.column_names:
+            # champion lists (index built with champion_m > 0): per-term
+            # impact-ordered doc_ids + their stored tf_norm, used to floor
+            # BMW's top-k threshold before traversal (idf * tfn is bit-exactly
+            # the term's score contribution for that doc)
+            champ = t["champ_docs"].combine_chunks()
+            st["c_off"] = champ.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            st["c_docs"] = champ.flatten().to_numpy(zero_copy_only=False)
+            st["c_tfn"] = (
+                t["champ_tfn"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+            )
         if t is None or t.num_rows == 0:
             st.update(
                 terms=pa.array([], pa.string()),
@@ -206,12 +219,16 @@ class IndexReader:
         self._b_maxtf = st["b_maxtf"]
         self._b_docs = st["b_docs"]
         self._b_tfs = st["b_tfs"]
+        self._c_off = st.get("c_off")
+        self._c_docs = st.get("c_docs")
+        self._c_tfn = st.get("c_tfn")
         # raw byte views for vectorized multi-block decode: consecutive
         # blocks' byte streams are contiguous in the (combined) value buffer,
         # so a term's whole posting list decodes in ONE varint pass
         self._docs_offs, self._docs_data = _binary_views(self._b_docs)
         self._tfs_offs, self._tfs_data = _binary_views(self._b_tfs)
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self.blocks_decoded = 0  # cumulative; see _decode_range
         self._tid_cache: dict[str, int | None] = {}
         self.terms = _TermsView(self)
         self._doc_ids_sorted = st["doc_ids_sorted"]
@@ -264,6 +281,7 @@ class IndexReader:
         reconstructed from the stored doc_base/doc_last metadata
         (``base[j] - last[j-1]``) and one cumsum yields all doc_ids.
         """
+        self.blocks_decoded += j1 - j0  # deterministic work counter (bench)
         ns = self._b_n[j0:j1].astype(np.int64)
         total = int(ns.sum())
         gaps = varint_decode(
@@ -305,6 +323,44 @@ class IndexReader:
     def idf(self, term: str) -> float:
         tid = self._lookup(term)
         return bm25_idf(int(self._df[tid]), self.n_docs) if tid is not None else 0.0
+
+    @property
+    def has_champions(self) -> bool:
+        return self._c_docs is not None and self._c_off is not None
+
+    def champions(self, tid: int) -> np.ndarray:
+        """Impact-ordered champion doc_ids of term ``tid`` (may be empty)."""
+        return self._c_docs[self._c_off[tid] : self._c_off[tid + 1]]
+
+    def tfs_at(self, term: str, docs: np.ndarray) -> np.ndarray:
+        """tf of ``term`` at each of the SORTED ``docs`` (0 where absent),
+        decoding only the blocks that contain a requested doc — random access
+        for small candidate sets (champion seeding) without a full-list
+        decode."""
+        out = np.zeros(docs.size, np.int64)
+        tid = self._lookup(term)
+        if tid is None or docs.size == 0:
+            return out
+        cached = self._postings_cache.get(term)
+        if cached is not None:
+            d, f = cached
+            pos = np.searchsorted(d, docs)
+            ok = pos < d.size
+            ok[ok] = d[pos[ok]] == docs[ok]
+            out[ok] = f[pos[ok]]
+            return out
+        j0, j1 = int(self._boff[tid]), int(self._boff[tid + 1])
+        lasts = self._b_last[j0:j1]
+        bi = np.searchsorted(lasts, docs)  # block whose doc_last >= doc
+        valid = bi < (j1 - j0)
+        for blk in np.unique(bi[valid]):
+            d, f = self._decode(j0 + int(blk))
+            sel = np.flatnonzero(valid & (bi == blk))
+            pos = np.searchsorted(d, docs[sel])
+            ok = pos < d.size
+            ok[ok] = d[pos[ok]] == docs[sel][ok]
+            out[sel[ok]] = f[pos[ok]]
+        return out
 
 
 def _binary_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -433,10 +489,28 @@ _SPAN_BLOCKS = 32
 
 
 class Searcher:
-    """Top-k BM25 search over an :class:`IndexReader`."""
+    """Top-k BM25 search over an :class:`IndexReader`.
 
-    def __init__(self, reader: IndexReader):
+    ``use_champions`` (default on) engages champion-list threshold flooring
+    in BMW when the index was built with ``IndexConfig.champion_m > 0``: for
+    each query term, the stored (champion doc, tf_norm) pairs give BIT-EXACT
+    per-term score contributions (``idf * tfn``, the same single multiply the
+    scorer uses); accumulating them over the union of champion docs yields a
+    LOWER BOUND on each candidate's true score (float addition of extra
+    non-negative terms is monotone), and the k-th largest such bound is a
+    valid initial threshold θ: k real docs have true score ≥ θ, so any doc
+    with upper bound < θ can never reach the top-k. Traversal then starts
+    with θ instead of -inf — no posting is decoded to compute it, no doc is
+    scored twice, the heap logic is untouched. Because θ is
+    out-of-traversal-order knowledge, tie handling must not prune equality:
+    pivot/prune comparisons become >= / < while a floor is active (strictly
+    more conservative), which keeps results bit-identical to the unfloored
+    engine including (score desc, doc_id asc) tie-breaks.
+    """
+
+    def __init__(self, reader: IndexReader, use_champions: bool = True):
         self.r = reader
+        self.use_champions = bool(use_champions) and reader.has_champions
 
     # ------------------------------------------------------------------ api
     def search(self, query: str, k: int = 10, algorithm: str = "bmw") -> list[tuple[int, float]]:
@@ -503,6 +577,43 @@ class Searcher:
         order = np.lexsort((uniq, -acc))[:kk]
         return [(int(uniq[i]), float(acc[i])) for i in order]
 
+    # ---------------------------------------------------------- champions
+    def _champion_floor(
+        self, cursors: list["_Cursor"], k: int, allowed: np.ndarray | None
+    ) -> float:
+        """Initial BMW threshold from champion lists — pure metadata work.
+
+        Accumulates, per champion doc, the exact per-term contributions
+        (``idf * stored tf_norm``) over the query terms. Each accumulated
+        value is a LOWER bound of the doc's true total (missing terms only
+        add), so the k-th largest over ≥ k distinct docs lower-bounds the
+        final k-th best score. Returns 0.0 when no valid floor exists
+        (fewer than k candidates, or an exact filter active — filtered docs
+        can't evidence the final top-k).
+        """
+        if allowed is not None:
+            return 0.0
+        r = self.r
+        parts_d, parts_s = [], []
+        # NOTE: cursors arrive in sorted term order (tokenize_query yields
+        # sorted unique terms). The subset sum must accumulate in the SAME
+        # relative order as the scorer's full sum — only then is inserting
+        # the missing non-negative addends monotone in float64, making acc a
+        # true lower bound (a reordered subset can exceed the ordered full
+        # sum by an ulp and over-prune a tied winner).
+        for c in cursors:
+            tid = r._lookup(c.term)
+            j0, j1 = int(r._c_off[tid]), int(r._c_off[tid + 1])
+            parts_d.append(r._c_docs[j0:j1])
+            parts_s.append(c.idf * r._c_tfn[j0:j1])
+        cand = np.unique(np.concatenate(parts_d))
+        if cand.size < k:
+            return 0.0
+        acc = np.zeros(cand.size, np.float64)
+        for d, s in zip(parts_d, parts_s):
+            acc[np.searchsorted(cand, d)] += s
+        return float(np.partition(acc, cand.size - k)[cand.size - k])
+
     # ------------------------------------------------------------------ bmw
     def _bmw(self, terms: list[str], k: int, allowed: np.ndarray | None) -> list[tuple[int, float]]:
         """Block-max WAND (Ding & Suel 2011), range-vectorized.
@@ -526,6 +637,8 @@ class Searcher:
         if not cursors:
             return []
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of k best
+        floor = self._champion_floor(cursors, k, allowed) if self.use_champions else 0.0
+        tie_safe = floor > 0.0  # out-of-order threshold ⇒ >= / < comparisons
 
         while True:
             live = [c for c in cursors if not c.exhausted]
@@ -533,12 +646,14 @@ class Searcher:
                 break
             live.sort(key=lambda c: c.doc)
             th = heap[0][0] if len(heap) >= k else -1.0
+            if th < floor:
+                th = floor
             # pivot: first prefix whose global-UB sum exceeds threshold
             ub_sum = 0.0
             pivot_idx = -1
             for i, c in enumerate(live):
                 ub_sum += c.ub
-                if ub_sum > th:
+                if ub_sum > th or (tie_safe and ub_sum == th):
                     pivot_idx = i
                     break
             if pivot_idx < 0:
@@ -557,7 +672,7 @@ class Searcher:
             range_end = min(c.bound(span) for c in live)
             involved = [c for c in live if c.doc <= range_end]
             bm_sum = sum(c.span_max(range_end) for c in involved)
-            if bm_sum <= th:
+            if bm_sum < th or (not tie_safe and bm_sum == th):
                 for c in involved:
                     c.next_geq(range_end + 1)
                 continue
@@ -577,8 +692,12 @@ class Searcher:
                     m = np.isin(uniq, allowed)
                     uniq, acc = uniq[m], acc[m]
                 if uniq.size:
-                    if len(heap) >= k:
-                        keep = acc >= heap[0][0]
+                    # docs below the current threshold can never enter the
+                    # final top-k (when heap < k, ≥ k docs scoring ≥ floor
+                    # are guaranteed to exist and will be scored) — ties kept
+                    thresh = heap[0][0] if len(heap) >= k else floor
+                    if thresh > 0.0:
+                        keep = acc >= thresh
                         uniq, acc = uniq[keep], acc[keep]
                     for d, s in zip(uniq.tolist(), acc.tolist()):
                         item = (s, -d)
