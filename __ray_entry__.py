@@ -1,10 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — 40 callables, one per implemented operator/pipeline
+sf0.001. ``queries()`` — 43 callables, one per implemented operator/pipeline
 from SURVEY.md §2 (incl. the M1-M11 extraction family) plus the
 training-data operators; each takes ``sf_dir`` and returns a DataFrame.
-``oracle_sql()`` — the DuckDB-equivalent SQL for the 30 SQL-expressible
+``oracle_sql()`` — the DuckDB-equivalent SQL for the 33 SQL-expressible
 queries (same column names, same rounding); non-SQL-expressible pipelines
 (LSH bucketing, SimHash banding, heuristic language-ID, IVF recall, stubbed
 multimodal decode) are intentionally omitted there → rows-only check.
@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_stats": dp.q_corpus_stats,
         "q_bm25_top10": dp.q_bm25_top10,
         "q_exact_lookup": dp.q_exact_lookup,
+        "q_phrase_search": dp.q_phrase_search,
+        "q_and_search": dp.q_and_search,
+        "q_search_facets": dp.q_search_facets,
         # text analysis / training-data ops
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
         "q_quality_features": dp.q_quality_features,
@@ -303,6 +306,72 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_exact_lookup": """
             SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id
+        """,
+        # phrase adjacency re-derived from first principles: the SAME
+        # tokenization as the engine (simple mode == the SQL split), zipped
+        # with per-row ordinals, self-joined on pos+1
+        "q_phrase_search": f"""
+            WITH docs AS (
+                SELECT doc_id, {_TOKENS} AS l FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+                FROM docs
+            )
+            SELECT doc_id, n_occur FROM (
+                SELECT a.doc_id AS doc_id, count(*) AS n_occur
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                WHERE a.term = 'slow' AND b.term = 'query'
+                GROUP BY a.doc_id
+                ORDER BY n_occur DESC, a.doc_id LIMIT 10
+            )
+        """,
+        "q_and_search": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('hash', 'join', 'table')
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+                HAVING count(DISTINCT tf.term) = 3
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+        """,
+        "q_search_facets": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            m AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ('data', 'pipeline', 'query')
+            )
+            SELECT d.lang, count(*) AS n_docs
+            FROM documents d JOIN m USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
         """,
         "q_token_stats_by_lang": f"""
             WITH counts AS (

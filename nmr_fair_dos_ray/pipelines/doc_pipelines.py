@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from dataclasses import replace
 
 import numpy as np
 import pandas as pd
@@ -52,10 +53,20 @@ DOC_INDEX_CFG = IndexConfig(
 )
 
 
-def documents_index(sf_dir: str) -> str:
-    """Build (or resume) the fulltext index over the documents table."""
-    idx_dir = f"/tmp/nmr_fair_dos_ray/docindex/{_tag(sf_dir)}"
-    build_index(_t(sf_dir, "documents"), idx_dir, DOC_INDEX_CFG, resume=True)
+def documents_index(sf_dir: str, positions: bool = False) -> str:
+    """Build (or resume) the fulltext index over the documents table.
+
+    ``positions=True`` builds the positional variant (phrase queries) into
+    its own directory — positional streams change the shard schema, so the
+    two variants never share partitions.
+    """
+    suffix = "-pos" if positions else ""
+    idx_dir = f"/tmp/nmr_fair_dos_ray/docindex/{_tag(sf_dir)}{suffix}"
+    cfg = (
+        replace(DOC_INDEX_CFG, store_positions=True) if positions
+        else DOC_INDEX_CFG
+    )
+    build_index(_t(sf_dir, "documents"), idx_dir, cfg, resume=True)
     return idx_dir
 
 
@@ -136,6 +147,51 @@ def q_exact_lookup(sf_dir: str) -> pd.DataFrame:
     s = Searcher(r)
     hits = s.search("source:src3", k=r.n_docs)
     return pd.DataFrame({"doc_id": [d for d, _ in hits]})
+
+
+PHRASE_QUERY = "slow query"
+AND_QUERY = "table hash join"  # all three co-occur in the testdata corpus
+
+
+def q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact-phrase top-10 over the positional index (ES match_phrase
+    analog — the reference's ES index answers phrase queries from the same
+    positional postings it builds by default,
+    src/nmr_FAIR_DOs/connectors/elasticsearch.py:169-173). Ranked by
+    (occurrence count desc, doc_id asc); count = adjacent-token occurrences
+    of the analyzed phrase."""
+    idx = documents_index(sf_dir, positions=True)
+    s = Searcher(IndexReader(idx))
+    hits = s.search_phrase(PHRASE_QUERY, k=10)
+    return pd.DataFrame(
+        {"doc_id": [d for d, _ in hits], "n_occur": [n for _, n in hits]}
+    )
+
+
+def q_and_search(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive BM25 top-10 (ES bool.must analog): docs containing ALL
+    query terms, scored identically to the disjunctive engine."""
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    hits = s.search_and(AND_QUERY, k=10)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
+def q_search_facets(sf_dir: str) -> pd.DataFrame:
+    """Per-language matching-doc counts for a ranked query (ES terms-
+    aggregation analog), resolved entirely from index field terms — no
+    doc-store scan."""
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    facets = s.facet_counts(BM25_QUERY, "lang")
+    return pd.DataFrame(
+        {"lang": [v for v, _ in facets], "n_docs": [n for _, n in facets]}
+    )
 
 
 # --------------------------------------------------------------- text ops

@@ -103,6 +103,17 @@ class IndexConfig:
     # champion_df_min=None → auto (4 * champion_m).
     champion_m: int = 0
     champion_df_min: int | None = None
+    # ---- positional index (phrase queries, ES match_phrase analog;
+    # reference delegates phrase semantics to Elasticsearch's default
+    # analyzer/index, src/nmr_FAIR_DOs/connectors/elasticsearch.py:169-173).
+    # When on, every posting additionally stores the token positions of the
+    # term in the doc's token stream (the same stream Tokenizer.tokenize
+    # yields), delta+varint encoded into ONE byte stream per term —
+    # decodable without touching the doc-id blocks. tf == position count, so
+    # the stream needs no extra length metadata. Multi-source streams
+    # (content + token_cols) are separated by POS_STREAM_GAP so phrases
+    # never match across field boundaries (ES position_increment_gap).
+    store_positions: bool = False
 
     def to_dict(self) -> dict:
         return {
@@ -121,6 +132,7 @@ class IndexConfig:
             "n_salts": self.n_salts,
             "champion_m": self.champion_m,
             "champion_df_min": self.champion_df_min,
+            "store_positions": self.store_positions,
         }
 
     @property
@@ -154,6 +166,54 @@ POSTING_SCHEMA = pa.schema(
         ("doclen", pa.int32()),
     ]
 )
+# with store_positions: one varint byte-string of position deltas per posting
+POSTING_SCHEMA_POS = POSTING_SCHEMA.append(pa.field("pos", pa.binary()))
+
+#: positions of successive token streams (content, then each token_col) are
+#: offset by this gap so phrases never match across stream boundaries
+#: (Elasticsearch's position_increment_gap analog)
+POS_STREAM_GAP = 100
+
+
+def _bin_from_lengths(byte_lens: np.ndarray, data: np.ndarray) -> pa.Array:
+    """Build a BinaryArray of len(byte_lens) values slicing ``data`` (uint8)
+    consecutively — zero-copy into Arrow buffers, no per-value Python."""
+    offs = np.concatenate([[0], np.cumsum(byte_lens)]).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(byte_lens),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def _encode_position_lists(pos_list: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-posting position lists -> per-posting varint byte strings.
+
+    Each list is sorted ascending (group_by("list") preserves input order,
+    which in code mode interleaves compound/part occurrences), delta-encoded
+    (first value raw, then gaps — strictly positive: a term occupies a stream
+    slot at most once), LEB128-varint packed. One vectorized pass, no per-
+    posting loop.
+    """
+    arr = pos_list.combine_chunks() if isinstance(pos_list, pa.ChunkedArray) else pos_list
+    n = len(arr)
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_a = arr.flatten()
+    flat = (flat_a.combine_chunks() if isinstance(flat_a, pa.ChunkedArray) else flat_a
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+    if flat.size == 0:
+        return pa.array([b""] * n, pa.binary())
+    seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.lexsort((flat, seg))
+    flat = flat[order]
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    deltas = np.empty_like(flat)
+    deltas[1:] = flat[1:] - flat[:-1]
+    deltas[starts] = flat[starts]  # segment firsts stay absolute
+    from nmr_fair_dos_ray.codec import varint_encode_all
+
+    data, nb = varint_encode_all(deltas)
+    byte_lens = np.add.reduceat(nb, starts)
+    return _bin_from_lengths(byte_lens, data)
 
 
 class Phase1Invert:
@@ -207,13 +267,19 @@ class Phase1Invert:
         )
 
         # ---- tokenize content + extra token columns (vectorized) ----
+        want_pos = cfg.store_positions
         rows_parts = []
         terms_parts = []
-        r, tm = self.tok.batch_token_rows(content)
-        rows_parts.append(r); terms_parts.append(tm)
-        for col in cfg.token_cols:
-            r2, tm2 = self.tok.batch_token_rows(t[col].cast(pa.string()))
+        pos_parts = []
+        stream_base = np.zeros(n, np.int64)  # per-row next-stream offset
+        for src_i, col_arr in enumerate(
+            [content] + [t[col].cast(pa.string()) for col in cfg.token_cols]
+        ):
+            r2, tm2, p2 = self.tok.batch_token_positions(col_arr, with_positions=want_pos)
             rows_parts.append(r2); terms_parts.append(tm2)
+            if want_pos:
+                pos_parts.append(p2 + stream_base[r2])
+                stream_base += np.bincount(r2, minlength=n) + POS_STREAM_GAP
         rows = np.concatenate(rows_parts)
         terms = pa.concat_arrays(
             [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in terms_parts]
@@ -221,9 +287,20 @@ class Phase1Invert:
         doclens = np.bincount(rows, minlength=n).astype(np.int32)
 
         # ---- per-(row, term) tf via Arrow group_by (C++ hash aggregation) ----
+        p_pos_bin: pa.Array | None = None
         if len(terms):
-            pairs = pa.table({"row": pa.array(rows), "term": terms})
-            agg = pairs.group_by(["row", "term"]).aggregate([("term", "count")])
+            if want_pos:
+                pairs = pa.table({
+                    "row": pa.array(rows), "term": terms,
+                    "pos": pa.array(np.concatenate(pos_parts)),
+                })
+                agg = pairs.group_by(["row", "term"]).aggregate(
+                    [("term", "count"), ("pos", "list")]
+                )
+                p_pos_bin = _encode_position_lists(agg["pos_list"])
+            else:
+                pairs = pa.table({"row": pa.array(rows), "term": terms})
+                agg = pairs.group_by(["row", "term"]).aggregate([("term", "count")])
             p_row = agg["row"].to_numpy(zero_copy_only=False)
             p_term = agg["term"].combine_chunks() if isinstance(agg["term"], pa.ChunkedArray) else agg["term"]
             p_tf = agg["term_count"].to_numpy(zero_copy_only=False).astype(np.int32)
@@ -231,6 +308,8 @@ class Phase1Invert:
             p_row = np.empty(0, np.int64)
             p_term = pa.array([], pa.string())
             p_tf = np.empty(0, np.int32)
+            if want_pos:
+                p_pos_bin = pa.array([], pa.binary())
 
         # ---- exact field terms ("<col>:<value>", tf=1) ----
         f_rows, f_terms = [p_row], [p_term]
@@ -250,16 +329,23 @@ class Phase1Invert:
 
         th = term_hash(all_terms)
         shard = (th % np.uint64(cfg.num_shards)).astype(np.int32)
+        cols = {
+            "shard_id": pa.array(shard),
+            "term": all_terms,
+            "term_hash": pa.array(th.view(np.int64)),
+            "doc_id": pa.array(doc_ids[all_rows]),
+            "tf": pa.array(all_tfs),
+            "doclen": pa.array(doclens[all_rows]),
+        }
+        if want_pos:
+            # field terms carry no positions (tf=1 synthetic exact terms,
+            # outside the token stream): empty byte strings
+            n_field_rows = all_rows.size - p_row.size
+            cols["pos"] = pa.concat_arrays(
+                [p_pos_bin, pa.array([b""] * n_field_rows, pa.binary())]
+            )
         postings = pa.table(
-            {
-                "shard_id": pa.array(shard),
-                "term": all_terms,
-                "term_hash": pa.array(th.view(np.int64)),
-                "doc_id": pa.array(doc_ids[all_rows]),
-                "tf": pa.array(all_tfs),
-                "doclen": pa.array(doclens[all_rows]),
-            },
-            schema=POSTING_SCHEMA,
+            cols, schema=POSTING_SCHEMA_POS if want_pos else POSTING_SCHEMA
         )
         # sort by shard so the run file can be written with shard-aligned row
         # groups — the storage-backed shuffle phase 2 relies on (statistics
@@ -420,6 +506,8 @@ def build_group_table(
         if cfg.champion_m > 0:
             for name, typ in _CHAMP_FIELDS:
                 schema = schema.append(pa.field(name, typ))
+        if cfg.store_positions:
+            schema = schema.append(pa.field("pos_stream", pa.binary()))
         return schema.empty_table()
     idx = pc.sort_indices(
         group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
@@ -476,6 +564,17 @@ def build_group_table(
         )
         cols["champ_tfn"] = pa.ListArray.from_arrays(
             offs, pa.array(tfn[take], pa.float64())
+        )
+    if cfg.store_positions and "pos" in g.column_names:
+        # per-term position stream: the sorted postings' varint byte strings
+        # concatenate directly (each is self-delimiting; count = that
+        # posting's tf, recovered from the decoded tf array at read time)
+        seg_offs = pa.array(
+            np.concatenate([starts, [len(codes)]]).astype(np.int32), pa.int32()
+        )
+        pos_col = g["pos"].combine_chunks() if isinstance(g["pos"], pa.ChunkedArray) else g["pos"]
+        cols["pos_stream"] = pc.binary_join(
+            pa.ListArray.from_arrays(seg_offs, pos_col), pa.scalar(b"", pa.binary())
         )
     return pa.table(cols)
 
@@ -775,9 +874,12 @@ def build_index(
                 t0m = time.time()
                 c0m = time.process_time()
                 pid = int(it["pid"])
+                merge_cols = ["term", "term_hash", "doc_id", "tf", "doclen"]
+                if cfg.store_positions:
+                    merge_cols.append("pos")
                 if it["kind"] == "cold":
                     g = pads.dataset(run_paths).to_table(
-                        columns=["term", "term_hash", "doc_id", "tf", "doclen"],
+                        columns=merge_cols,
                         filter=pc.field("shard_id") == pid,
                     )
                     if len(hot_list):
@@ -787,7 +889,7 @@ def build_index(
                     path = os.path.join(shards_dir, f"shard_{pid:05d}.parquet")
                 else:
                     g = pads.dataset(buckets[pid - num_shards]).to_table(
-                        columns=["term", "term_hash", "doc_id", "tf", "doclen"],
+                        columns=merge_cols,
                         filter=pc.field("term_hash").isin(hot_list),
                     )
                     path = os.path.join(hotparts_dir, f"part_{pid:06d}.parquet")
@@ -967,6 +1069,17 @@ def merge_hot_parts(
         )
         cols["champ_tfn"] = pa.ListArray.from_arrays(
             c_offs, pa.array(flat_tfn[take], pa.float64())
+        )
+    if "pos_stream" in t.column_names:
+        # parts are already in (term, doc-range) order; their per-part varint
+        # streams concatenate to the term's global stream (first values are
+        # absolute, so part boundaries need no fix-up)
+        ps = t["pos_stream"].combine_chunks()
+        seg_offs = pa.array(
+            np.concatenate([starts, [len(th)]]).astype(np.int32), pa.int32()
+        )
+        cols["pos_stream"] = pc.binary_join(
+            pa.ListArray.from_arrays(seg_offs, ps), pa.scalar(b"", pa.binary())
         )
     out = pa.table(cols)
     path = os.path.join(shards_dir, "shard_hot.parquet")

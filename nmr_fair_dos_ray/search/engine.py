@@ -162,6 +162,10 @@ class IndexReader:
                 t["champ_tfn"].combine_chunks().flatten()
                 .to_numpy(zero_copy_only=False)
             )
+        st["pos_stream"] = (
+            t["pos_stream"].combine_chunks()
+            if t is not None and "pos_stream" in t.column_names else None
+        )
         if t is None or t.num_rows == 0:
             st.update(
                 terms=pa.array([], pa.string()),
@@ -222,12 +226,16 @@ class IndexReader:
         self._c_off = st.get("c_off")
         self._c_docs = st.get("c_docs")
         self._c_tfn = st.get("c_tfn")
+        ps = st.get("pos_stream")
+        self._p_offs, self._p_data = _binary_views(ps) if ps is not None else (None, None)
         # raw byte views for vectorized multi-block decode: consecutive
         # blocks' byte streams are contiguous in the (combined) value buffer,
         # so a term's whole posting list decodes in ONE varint pass
         self._docs_offs, self._docs_data = _binary_views(self._b_docs)
         self._tfs_offs, self._tfs_data = _binary_views(self._b_tfs)
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._positions_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._prefix_cache: dict[str, list[str]] = {}
         self.blocks_decoded = 0  # cumulative; see _decode_range
         self._tid_cache: dict[str, int | None] = {}
         self.terms = _TermsView(self)
@@ -323,6 +331,62 @@ class IndexReader:
     def idf(self, term: str) -> float:
         tid = self._lookup(term)
         return bm25_idf(int(self._df[tid]), self.n_docs) if tid is not None else 0.0
+
+    @property
+    def has_positions(self) -> bool:
+        return self._p_offs is not None
+
+    def terms_with_prefix(self, prefix: str) -> list[str]:
+        """All index terms starting with ``prefix`` (e.g. ``"lang:"`` for
+        facet-value enumeration) — one vectorized C++ scan, memoized."""
+        hit = self._prefix_cache.get(prefix)
+        if hit is None:
+            mask = pc.starts_with(self._terms_arr, pattern=prefix)
+            hit = sorted(self._terms_arr.filter(mask).to_pylist())
+            if len(self._prefix_cache) >= 64:
+                self._prefix_cache.pop(next(iter(self._prefix_cache)))
+            self._prefix_cache[prefix] = hit
+        return hit
+
+    def positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Decoded positional postings of ``term``:
+        ``(doc_ids, list_offsets, positions_flat)`` where doc ``doc_ids[i]``'s
+        positions are ``positions_flat[list_offsets[i]:list_offsets[i+1]]``
+        (ascending, 0-based in the doc's token stream).
+
+        Returns ``None`` when the index stores no positions, the term is
+        absent, or the term is a synthetic exact-field term (those live
+        outside the token stream and store an empty stream).
+        """
+        if self._p_offs is None:
+            return None
+        hit = self._positions_cache.get(term)
+        if hit is not None:
+            return hit
+        tid = self._lookup(term)
+        if tid is None:
+            return None
+        docs, tfs = self.postings(term)
+        lo, hi = int(self._p_offs[tid]), int(self._p_offs[tid + 1])
+        if hi == lo:
+            if docs.size:
+                return None  # field term: postings but no stream
+            return docs, np.zeros(1, np.int64), np.empty(0, np.int64)
+        vals = varint_decode(
+            self._p_data[lo:hi].tobytes(), int(tfs.sum())
+        ).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(tfs)])
+        starts = offsets[:-1]
+        # segmented cumsum: each posting's first value is absolute, the rest
+        # are gaps — one global cumsum + per-segment correction
+        c = np.cumsum(vals)
+        adjust = c[starts] - vals[starts]
+        pos = c - np.repeat(adjust, tfs)
+        out = (docs, offsets, pos)
+        if len(self._positions_cache) >= 64:
+            self._positions_cache.pop(next(iter(self._positions_cache)))
+        self._positions_cache[term] = out
+        return out
 
     @property
     def has_champions(self) -> bool:
@@ -541,6 +605,144 @@ class Searcher:
             docs, _ = self.r.postings(t)
             allowed = docs if allowed is None else np.intersect1d(allowed, docs)
         return allowed
+
+    # ----------------------------------------------------------- conjunctive
+    def search_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Conjunctive BM25 top-k (the ES ``bool.must`` analog; the reference
+        delegates boolean retrieval to Elasticsearch,
+        src/nmr_FAIR_DOs/connectors/elasticsearch.py:277-306): only docs
+        containing EVERY ranked term (and passing ``field:value`` filters)
+        are scored. Scores accumulate in sorted term order, so each returned
+        score is bit-equal to :meth:`search`'s score for the same doc.
+        """
+        r = self.r
+        terms, exact = r.tokenizer.tokenize_query(query)
+        allowed = self._exact_candidates(exact)
+        if not terms:
+            if allowed is None:
+                return []
+            return [(int(d), 0.0) for d in np.sort(allowed)[:k]]
+        per_term = []
+        inter: np.ndarray | None = allowed
+        for t in terms:
+            docs, tfs = r.postings(t)
+            if docs.size == 0:
+                return []
+            per_term.append((docs, tfs))
+            inter = docs if inter is None else np.intersect1d(inter, docs)
+            if inter.size == 0:
+                return []
+        acc = np.zeros(inter.size, np.float64)
+        dl = r.doclens(inter)
+        for t, (docs, tfs) in zip(terms, per_term):
+            sel = tfs[np.searchsorted(docs, inter)]
+            acc += bm25_term_scores(sel, dl, r.idf(t), r.k1, r.b, r.avgdl)
+        order = np.lexsort((inter, -acc))[: min(k, inter.size)]
+        return [(int(inter[i]), float(acc[i])) for i in order]
+
+    # ---------------------------------------------------------------- phrase
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
+        """Exact-phrase top-k (the ES ``match_phrase`` analog) over a
+        positional index (``IndexConfig.store_positions``). A doc matches
+        when the phrase's analyzed terms occupy CONSECUTIVE positions in its
+        token stream; ranked by (occurrence count desc, doc_id asc).
+        Returns ``[(doc_id, n_occurrences)]``.
+
+        Scale note: work is bounded by the phrase terms' posting lists (the
+        standard positional-intersection cost) and is fully vectorized — the
+        adjacency check runs across ALL candidate docs at once on composite
+        ``doc*K + position`` keys (K > any position, so ``key+1`` is
+        "next position, same doc"), one sorted-set intersection per phrase
+        term, no per-doc loop. Sharded serving partitions by term, so a
+        phrase spanning shards fetches each term's positional postings from
+        its owner — same partitioning assumption as ranked search.
+        """
+        r = self.r
+        if not r.has_positions:
+            raise ValueError(
+                "index was built without store_positions=True; phrase search "
+                "needs positional postings"
+            )
+        terms = r.tokenizer.tokenize(phrase)
+        if not terms:
+            return []
+        plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        inter: np.ndarray | None = None
+        for t in terms:
+            if t not in plists:
+                p = r.positions(t)
+                if p is None:
+                    return []  # absent term (or field term) ⇒ no phrase match
+                plists[t] = p
+            inter = (
+                plists[t][0] if inter is None
+                else np.intersect1d(inter, plists[t][0])
+            )
+            if inter.size == 0:
+                return []
+
+        # composite keys: doc * K + pos. K is per-query (max position + 2),
+        # so key arithmetic never overflows int64 even at 10^12 docs.
+        K = 2 + max(
+            int(plists[t][2].max()) if plists[t][2].size else 0 for t in set(terms)
+        )
+
+        def _keys(t: str) -> np.ndarray:
+            docs, offs, flat = plists[t]
+            idx = np.searchsorted(docs, inter)
+            lens = offs[idx + 1] - offs[idx]
+            total = int(lens.sum())
+            seg_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            flat_idx = (
+                np.repeat(offs[idx], lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(seg_starts, lens)
+            )
+            return np.repeat(inter, lens) * K + flat[flat_idx]
+
+        ends = _keys(terms[0])
+        for t in terms[1:]:
+            ends = np.intersect1d(ends + 1, _keys(t))
+            if ends.size == 0:
+                return []
+        docs_m, counts = np.unique(ends // K, return_counts=True)
+        order = np.lexsort((docs_m, -counts))[:k]
+        return [(int(docs_m[i]), int(counts[i])) for i in order]
+
+    # ---------------------------------------------------------------- facets
+    def facet_counts(self, query: str, facet_field: str) -> list[tuple[str, int]]:
+        """Matching-doc counts per value of an exact field (the ES terms-
+        aggregation analog; the reference's repository-level rollups run as
+        ES aggregations it never reimplements). Match set = union of the
+        ranked terms' postings ∩ exact ``field:value`` filters — resolved
+        entirely from the index (facet values are the ``field:*`` terms, no
+        doc-store scan). Returns ``[(value, n_docs)]`` sorted by value.
+        """
+        r = self.r
+        terms, exact = r.tokenizer.tokenize_query(query)
+        allowed = self._exact_candidates(exact)
+        matches: np.ndarray | None = None
+        if terms:
+            parts = [r.postings(t)[0] for t in terms]
+            parts = [p for p in parts if p.size]
+            if not parts:
+                return []
+            matches = np.unique(np.concatenate(parts))
+        if allowed is not None:
+            matches = allowed if matches is None else np.intersect1d(matches, allowed)
+        if matches is None or matches.size == 0:
+            return []
+        prefix = facet_field + ":"
+        out: list[tuple[str, int]] = []
+        for ft in r.terms_with_prefix(prefix):
+            docs, _ = r.postings(ft)
+            pos = np.searchsorted(matches, docs)
+            ok = pos < matches.size
+            n = int((matches[pos[ok]] == docs[ok]).sum())
+            if n:
+                out.append((ft[len(prefix):], n))
+        out.sort(key=lambda v: v[0])
+        return out
 
     # ----------------------------------------------------------------- taat
     def _taat(self, terms: list[str], k: int, allowed: np.ndarray | None) -> list[tuple[int, float]]:

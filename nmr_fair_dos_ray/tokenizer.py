@@ -124,12 +124,25 @@ class Tokenizer:
         token occurrence (tf = count of identical (row_idx, term) pairs).
         Built on pyarrow.compute kernels; no per-row Python in the hot path.
         """
+        rows, terms, _ = self.batch_token_positions(texts, with_positions=False)
+        return rows, terms
+
+    def batch_token_positions(
+        self, texts: pa.Array | pa.ChunkedArray, with_positions: bool = True
+    ) -> tuple[np.ndarray, pa.Array, np.ndarray | None]:
+        """Like :meth:`batch_token_rows` plus each occurrence's POSITION in
+        its row's token stream (0-based, the same stream :meth:`tokenize`
+        yields — in code mode identifier parts sit right after their
+        compound). Foundation of the positional index (phrase queries).
+        """
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         texts = pc.fill_null(texts, "")
         n = len(texts)
         if n == 0:
-            return np.empty(0, np.int64), pa.array([], pa.string())
+            return np.empty(0, np.int64), pa.array([], pa.string()), (
+                np.empty(0, np.int64) if with_positions else None
+            )
 
         if self.mode == "simple":
             lowered = pc.utf8_lower(texts)
@@ -140,7 +153,15 @@ class Tokenizer:
                 pc.list_value_length(split).to_numpy(zero_copy_only=False),
             )
             keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            return rows[keep], flat.filter(pa.array(keep))
+            rows = rows[keep]
+            pos = None
+            if with_positions:
+                # kept tokens are in stream order; position within row =
+                # running index minus the row's first kept-token index
+                counts = np.bincount(rows, minlength=n)
+                starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                pos = np.arange(rows.size, dtype=np.int64) - starts[rows]
+            return rows, flat.filter(pa.array(keep)), pos
 
         # code mode — raw tokens
         split = pc.split_pattern_regex(texts, pattern="[^A-Za-z0-9_]+")
@@ -192,14 +213,34 @@ class Tokenizer:
 
         keep_part = nonempty & ~single_same[parts_token_idx]
         part_terms = parts_flat.filter(pa.array(keep_part))
-        part_rows = raw_rows[cand_src[parts_token_idx[keep_part]]]
+        part_raw_idx = cand_src[parts_token_idx[keep_part]]  # part -> raw idx
+        part_rows = raw_rows[part_raw_idx]
 
         out_rows = np.concatenate([raw_rows, part_rows])
         out_terms = pa.concat_arrays(
             [compound.combine_chunks() if isinstance(compound, pa.ChunkedArray) else compound,
              part_terms.combine_chunks() if isinstance(part_terms, pa.ChunkedArray) else part_terms]
         )
-        return out_rows, out_terms
+        pos = None
+        if with_positions:
+            # stream width of raw token i = 1 (compound) + its kept parts;
+            # compound position = exclusive per-row cumsum of widths
+            n_raw = raw_rows.size
+            parts_per_raw = np.zeros(n_raw, np.int64)
+            np.add.at(parts_per_raw, part_raw_idx, 1)
+            widths = parts_per_raw + 1
+            w_excl = np.concatenate([[0], np.cumsum(widths)[:-1]])
+            row_counts = np.bincount(raw_rows, minlength=n)
+            row_first = np.concatenate([[0], np.cumsum(row_counts)[:-1]])
+            compound_pos = w_excl - w_excl[row_first[raw_rows]]
+            # part j of raw token i sits at compound_pos[i] + 1 + j
+            kept_idx = parts_token_idx[keep_part]  # ascending candidate ids
+            kcnt = np.bincount(kept_idx, minlength=len(cand)) if len(cand) else np.empty(0, np.int64)
+            kstart = np.concatenate([[0], np.cumsum(kcnt)[:-1]]) if len(cand) else kcnt
+            j_within = np.arange(kept_idx.size, dtype=np.int64) - kstart[kept_idx]
+            part_pos = compound_pos[part_raw_idx] + 1 + j_within
+            pos = np.concatenate([compound_pos, part_pos])
+        return out_rows, out_terms, pos
 
 
 def term_hash(terms: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:

@@ -43,7 +43,8 @@ def compare(name, ray_df, sql_df) -> list[str]:
                 import pandas as pd
 
                 if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-                    ok = (av.astype(float).fillna(-1e18) - bv.astype(float).fillna(-1e18)).abs().max() == 0.0
+                    diff = (av.astype(float).fillna(-1e18) - bv.astype(float).fillna(-1e18)).abs()
+                    ok = len(diff) == 0 or diff.max() == 0.0
                 else:
                     ok = (av.astype(str) == bv.astype(str)).all()
             except Exception as e:  # noqa: BLE001
