@@ -136,6 +136,12 @@ class ShardActor:
                     ts.append(f)
                 docs = np.concatenate(ds)
                 tfs = np.concatenate(ts)
+                dm = r.deleted_mask(docs)
+                if dm is not None:
+                    # partial block decodes are raw — mask tombstoned docs
+                    # (the whole-list path goes through r.postings, which
+                    # already masks)
+                    docs, tfs = docs[~dm], tfs[~dm]
             scores = bm25_term_scores(
                 tfs, r.doclens(docs), idf, r.k1, r.b, r.avgdl
             )

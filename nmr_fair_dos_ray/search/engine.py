@@ -201,6 +201,17 @@ class IndexReader:
             order = np.argsort(ids, kind="stable")
             st["doc_ids_sorted"] = ids[order]
             st["doclens_sorted"] = docs["doclen"].to_numpy(zero_copy_only=False)[order]
+        # tombstones (document deletes, pipelines/lifecycle.py): a sorted
+        # doc_id set masked out of every search path. Loaded even for
+        # term-sharded serving slots — the set is tiny relative to the index
+        # (it is cleared by compaction) and every slot must honor it.
+        tomb_path = os.path.join(index_dir, "tombstones.parquet")
+        if os.path.exists(tomb_path):
+            t_ids = pq.read_table(tomb_path, columns=["doc_id"])["doc_id"]
+            arr = np.unique(t_ids.to_numpy(zero_copy_only=False).astype(np.int64))
+            st["tomb"] = arr if arr.size else None
+        else:
+            st["tomb"] = None
         return st
 
     def _init_from_state(self, st: dict) -> None:
@@ -238,6 +249,7 @@ class IndexReader:
         self._prefix_cache: dict[str, list[str]] = {}
         self.blocks_decoded = 0  # cumulative; see _decode_range
         self._tid_cache: dict[str, int | None] = {}
+        self._tomb = st.get("tomb")  # sorted unique np.int64 doc_ids or None
         self.terms = _TermsView(self)
         self._doc_ids_sorted = st["doc_ids_sorted"]
         self._doclens_sorted = st["doclens_sorted"]
@@ -313,9 +325,26 @@ class IndexReader:
         ).astype(np.int64)
         return doc_ids, tfs
 
+    def deleted_mask(self, docs: np.ndarray) -> np.ndarray | None:
+        """Which of ``docs`` are tombstoned (deleted) — bool mask, or None
+        when the index has no tombstones / none of ``docs`` are deleted.
+
+        Delete semantics (Lucene-style, pipelines/lifecycle.py): tombstoned
+        docs are excluded from every result set, but global stats (df, n_docs,
+        avgdl) stay FROZEN until a rebuild — live docs keep bit-identical
+        scores through delete and compaction."""
+        t = self._tomb
+        if t is None or docs.size == 0:
+            return None
+        pos = np.searchsorted(t, docs)
+        hit = pos < t.size
+        hit[hit] = t[pos[hit]] == docs[hit]
+        return hit if hit.any() else None
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full decoded (doc_ids, tfs) of a term (doc_id-sorted); small LRU
-        keeps the Zipf head decoded across queries of a serving actor."""
+        """Full decoded (doc_ids, tfs) of a term (doc_id-sorted, tombstoned
+        docs removed); small LRU keeps the Zipf head decoded across queries
+        of a serving actor."""
         hit = self._postings_cache.get(term)
         if hit is not None:
             return hit
@@ -323,6 +352,10 @@ class IndexReader:
         if tid is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         out = self._decode_range(int(self._boff[tid]), int(self._boff[tid + 1]))
+        dm = self.deleted_mask(out[0])
+        if dm is not None:
+            keep = ~dm
+            out = (out[0][keep], out[1][keep])
         if len(self._postings_cache) >= 256:
             self._postings_cache.pop(next(iter(self._postings_cache)))
         self._postings_cache[term] = out
@@ -366,7 +399,10 @@ class IndexReader:
         tid = self._lookup(term)
         if tid is None:
             return None
-        docs, tfs = self.postings(term)
+        # RAW decode (tombstones NOT applied): the positional stream's value
+        # counts follow the stored tfs, so offset arithmetic must run over
+        # the physical postings; deleted docs are masked from the triple last
+        docs, tfs = self._decode_range(int(self._boff[tid]), int(self._boff[tid + 1]))
         lo, hi = int(self._p_offs[tid]), int(self._p_offs[tid + 1])
         if hi == lo:
             if docs.size:
@@ -382,6 +418,12 @@ class IndexReader:
         c = np.cumsum(vals)
         adjust = c[starts] - vals[starts]
         pos = c - np.repeat(adjust, tfs)
+        dm = self.deleted_mask(docs)
+        if dm is not None:
+            keep = ~dm
+            pos = pos[np.repeat(keep, tfs)]
+            docs, tfs = docs[keep], tfs[keep]
+            offsets = np.concatenate([[0], np.cumsum(tfs)])
         out = (docs, offsets, pos)
         if len(self._positions_cache) >= 64:
             self._positions_cache.pop(next(iter(self._positions_cache)))
@@ -424,6 +466,9 @@ class IndexReader:
             ok = pos < d.size
             ok[ok] = d[pos[ok]] == docs[sel][ok]
             out[sel[ok]] = f[pos[ok]]
+        dm = self.deleted_mask(docs)
+        if dm is not None:
+            out[dm] = 0  # block path decodes raw; deleted docs read as absent
         return out
 
 
@@ -809,11 +854,23 @@ class Searcher:
             parts_d.append(r._c_docs[j0:j1])
             parts_s.append(c.idf * r._c_tfn[j0:j1])
         cand = np.unique(np.concatenate(parts_d))
+        dm = r.deleted_mask(cand)
+        if dm is not None:
+            # deleted champions cannot evidence the floor (their bound would
+            # inflate θ above the true k-th LIVE score and over-prune)
+            cand = cand[~dm]
         if cand.size < k:
             return 0.0
         acc = np.zeros(cand.size, np.float64)
-        for d, s in zip(parts_d, parts_s):
-            acc[np.searchsorted(cand, d)] += s
+        if dm is None:
+            for d, s in zip(parts_d, parts_s):
+                acc[np.searchsorted(cand, d)] += s
+        else:
+            for d, s in zip(parts_d, parts_s):
+                pos = np.searchsorted(cand, d)
+                ok = pos < cand.size
+                ok[ok] = cand[pos[ok]] == d[ok]
+                acc[pos[ok]] += s[ok]
         return float(np.partition(acc, cand.size - k)[cand.size - k])
 
     # ------------------------------------------------------------------ bmw
@@ -893,6 +950,12 @@ class Searcher:
                 if allowed is not None:
                     m = np.isin(uniq, allowed)
                     uniq, acc = uniq[m], acc[m]
+                dm = r.deleted_mask(uniq)
+                if dm is not None:
+                    # span decodes are raw; deleted docs must never enter the
+                    # heap (a dead doc in the heap inflates θ and can prune a
+                    # live doc that belongs in the final top-k)
+                    uniq, acc = uniq[~dm], acc[~dm]
                 if uniq.size:
                     # docs below the current threshold can never enter the
                     # final top-k (when heap < k, ≥ k docs scoring ≥ floor

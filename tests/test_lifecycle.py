@@ -1,0 +1,186 @@
+"""Document lifecycle: tombstone deletes, upsert resolution, compaction.
+
+Contract (pipelines/lifecycle.py, frozen-stats semantics): deleting docs
+removes them from EVERY search path immediately while every live doc keeps a
+bit-identical score — so the expected post-delete top-k is literally the
+pre-delete full ranking with deleted docs filtered out. BMW (with and
+without champion floors), TAAT, conjunctive, phrase, facet, exact and the
+sharded serving pool must all agree on that.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+from nmr_fair_dos_ray.pipelines.lifecycle import (
+    clear_tombstones, delete_by_term, delete_docs, read_tombstones,
+    upsert_latest,
+)
+from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+
+BASE = dict(
+    token_cols=("path", "lang"),
+    field_cols=("repo", "lang", "path"),
+    stored_cols=("repo", "path"),
+    num_shards=4,
+    store_positions=True,
+    champion_m=8,
+)
+DIR = "/tmp/nmr_fair_dos_ray/test_lifecycle_idx"
+QUERIES = ["def return self", "user name config", "get set value", "import data"]
+
+
+@pytest.fixture()
+def idx(sf_unit):
+    shutil.rmtree(DIR, ignore_errors=True)
+    build_index(sf_unit["corpus"], DIR, IndexConfig(**BASE))
+    return sf_unit
+
+
+def _full_ranking(searcher: Searcher, q: str):
+    return searcher.search(q, k=10_000, algorithm="taat")
+
+
+def test_delete_filters_every_path_bit_identically(idx):
+    s0 = Searcher(IndexReader(DIR))
+    full = {q: _full_ranking(s0, q) for q in QUERIES}
+    # delete a mix of top-ranked and mid-ranked docs of the first query
+    victims = [d for d, _ in full[QUERIES[0]][:3]] + [d for d, _ in full[QUERIES[1]][5:8]]
+    n = delete_docs(DIR, victims)
+    assert n == len(set(victims))
+
+    r = IndexReader(DIR)
+    s = Searcher(r)
+    dead = set(victims)
+    for q in QUERIES:
+        expect = [(d, sc) for d, sc in full[q] if d not in dead][:10]
+        got_bmw = s.search(q, k=10, algorithm="bmw")
+        got_taat = s.search(q, k=10, algorithm="taat")
+        assert got_bmw == expect, q
+        assert got_taat == expect, q
+    # conjunctive: scores bit-equal to disjunctive for surviving docs
+    for q in QUERIES:
+        for d, sc in s.search_and(q, k=10):
+            assert d not in dead
+    # phrase: no deleted doc ever surfaces
+    for d, _ in s.search_phrase("def return", k=100):
+        assert d not in dead
+    # facets: per-value counts drop by exactly the deleted matching docs
+    r0 = s0.r
+    base_facets = dict(s0.facet_counts(QUERIES[0], "lang"))
+    got_facets = dict(s.facet_counts(QUERIES[0], "lang"))
+    match0 = {d for d, _ in full[QUERIES[0]]}
+    for val, n0 in base_facets.items():
+        lang_docs = set(r0.postings(f"lang:{val}")[0].tolist())
+        n_dead = len(match0 & lang_docs & dead)
+        assert got_facets.get(val, 0) == n0 - n_dead, val
+    # exact field path excludes deleted docs
+    for t in ("repo:" + pq.read_table(idx["corpus"], columns=["repo"])["repo"][0].as_py(),):
+        docs, _ = r.postings(t)
+        assert not (set(docs.tolist()) & dead)
+
+
+def test_delete_positions_consistent(idx):
+    r0 = IndexReader(DIR)
+    term = next(
+        t for t in r0.terms
+        if ":" not in t and r0.terms[t]["df"] >= 3 and r0.positions(t)
+    )
+    docs0, offs0, flat0 = r0.positions(term)
+    assert docs0.size >= 2
+    dead = int(docs0[0])
+    delete_docs(DIR, [dead])
+    r = IndexReader(DIR)
+    docs, offs, flat = r.positions(term)
+    assert dead not in docs
+    # surviving docs keep their exact position lists
+    for i, d in enumerate(docs):
+        j = int(np.searchsorted(docs0, d))
+        assert np.array_equal(
+            flat[offs[i]:offs[i + 1]], flat0[offs0[j]:offs0[j + 1]]
+        )
+
+
+def test_delete_by_term_and_idempotence(idx):
+    r0 = IndexReader(DIR)
+    langs = [t for t in r0.terms_with_prefix("lang:")]
+    victims, _ = r0.postings(langs[0])
+    n1 = delete_by_term(DIR, langs[0])
+    assert n1 == victims.size
+    n2 = delete_by_term(DIR, langs[0])  # already gone: postings masked
+    assert n2 == 0
+    assert read_tombstones(DIR).size == victims.size
+    r = IndexReader(DIR)
+    docs, _ = r.postings(langs[0])
+    assert docs.size == 0
+    # frozen stats: df/idf unchanged (Lucene semantics until rebuild)
+    assert r.terms[langs[0]]["df"] == r0.terms[langs[0]]["df"]
+    clear_tombstones(DIR)
+    assert read_tombstones(DIR).size == 0
+
+
+def test_sharded_serving_honors_tombstones(idx):
+    from nmr_fair_dos_ray.search.distributed import ShardedSearcher
+
+    s0 = Searcher(IndexReader(DIR))
+    full = {q: _full_ranking(s0, q) for q in QUERIES}
+    victims = [d for d, _ in full[QUERIES[2]][:4]]
+    delete_docs(DIR, victims)
+    local = Searcher(IndexReader(DIR))
+    pool = ShardedSearcher(DIR, pool_size=2)
+    try:
+        for q in QUERIES:
+            assert pool.search(q, k=10) == local.search(q, k=10), q
+    finally:
+        pool.shutdown()
+
+
+def test_upsert_latest_retires_old_versions(idx, tmp_path):
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    shutil.copy(idx["corpus"], corpus_dir / "part_000.parquet")
+    base = pq.read_table(idx["corpus"])
+    n0 = base.num_rows
+    # new versions of 5 existing paths (same path key, fresh content) + 2 new
+    reuse = base.slice(0, 5)
+    newtab = pa.table({
+        "repo": reuse["repo"],
+        "path": reuse["path"],
+        "commit": pa.array(["c-new"] * 5),
+        "lang": reuse["lang"],
+        "content": pa.array([f"freshly upserted contentzz {i}" for i in range(5)]),
+    })
+    extra = pa.table({
+        "repo": pa.array(["r-new"] * 2),
+        "path": pa.array(["new/a.py", "new/b.py"]),
+        "commit": pa.array(["c-new"] * 2),
+        "lang": pa.array(["python"] * 2),
+        "content": pa.array(["brand new file alpha", "brand new file beta"]),
+    })
+    idx_dir = str(tmp_path / "idx")
+    cfg = IndexConfig(**BASE)
+    build_index(str(corpus_dir), idx_dir, cfg)
+    pq.write_table(
+        pa.concat_tables([newtab, extra]), corpus_dir / "part_001.parquet"
+    )
+    build_index(str(corpus_dir), idx_dir, cfg, resume=True)  # append
+    n_retired = upsert_latest(idx_dir, "path")
+    assert n_retired == 5  # exactly the re-ingested paths' old versions
+    r = IndexReader(idx_dir)
+    s = Searcher(r)
+    # the old content of an upserted doc is gone; new content is findable
+    hits = dict(s.search("freshly upserted contentzz", k=20))
+    assert len(hits) == 5
+    assert all(d >= n0 for d in hits)  # only appended doc_ids
+    # un-upserted docs are untouched
+    assert dict(s.search("brand new file alpha", k=5))
+    # a path field term resolves to exactly one live doc per upserted path
+    for p in reuse["path"].to_pylist():
+        docs, _ = r.postings(f"path:{p}")
+        if docs.size:  # path indexed as exact field? only via field_cols
+            assert docs.size == 1
