@@ -138,6 +138,31 @@ def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_delete_search(sf_dir: str) -> pd.DataFrame:
+    """Search after a tombstone delete (document lifecycle,
+    pipelines/lifecycle.py): delete every doc of one source via the ES
+    delete-by-query analog, then BM25 top-10 as usual.
+
+    Frozen-stats semantics make this exactly SQL-expressible: df / avgdl /
+    n_docs stay as built (computed over the FULL corpus), deleted docs are
+    only excluded from the result set — so the oracle is the q_bm25_top10
+    SQL with a final ``source <> 'src3'`` filter. Idempotent across runs
+    (re-deleting an already-masked source is a no-op)."""
+    from nmr_fair_dos_ray.pipelines.lifecycle import delete_by_term
+
+    idx_dir = f"/tmp/nmr_fair_dos_ray/docindex/{_tag(sf_dir)}-del"
+    build_index(_t(sf_dir, "documents"), idx_dir, DOC_INDEX_CFG, resume=True)
+    delete_by_term(idx_dir, "source:src3")
+    s = Searcher(IndexReader(idx_dir))
+    hits = s.search(BM25_QUERY, k=10, algorithm="bmw")
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
 def q_exact_lookup(sf_dir: str) -> pd.DataFrame:
     """Exact field-term lookup (the reference's exact-equality verification,
     src/nmr_FAIR_DOs/connectors/elasticsearch.py:295-306) served from the
