@@ -33,7 +33,9 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+import json
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -41,6 +43,14 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 TOMBSTONE_FILE = "tombstones.parquet"
+
+
+def _member(a: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Bool mask: which elements of ``a`` are in the sorted unique set."""
+    pos = np.searchsorted(sorted_set, a)
+    hit = pos < sorted_set.size
+    hit[hit] = sorted_set[pos[hit]] == a[hit]
+    return hit
 
 
 def _tomb_path(index_dir: str) -> str:
@@ -165,3 +175,269 @@ def upsert_latest(index_dir: str, key_col: str) -> int:
     if ids.size:
         delete_docs(index_dir, ids)
     return int(ids.size)
+
+
+# --------------------------------------------------------------- compaction
+def _decode_all_blocks(flat: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Decode EVERY block of a shard file in one vectorized pass →
+    (doc_ids, tfs) concatenated in (term, doc_id) order.
+
+    Same math as IndexReader._decode_range, applied across term boundaries:
+    each block-start delta is reconstructed as ``base[j] - last[j-1]`` —
+    negative at a term change, which a plain cumsum handles exactly."""
+    from nmr_fair_dos_ray.codec import varint_decode
+    from nmr_fair_dos_ray.search.engine import _binary_views
+
+    nb = len(flat)
+    ns = flat.field("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d_offs, d_data = _binary_views(flat.field("docs"))
+    t_offs, t_data = _binary_views(flat.field("tfs"))
+    gaps = varint_decode(d_data[d_offs[0]:d_offs[nb]].tobytes(), total - nb)
+    full = np.empty(total, np.int64)
+    bstarts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    mask = np.ones(total, bool)
+    mask[bstarts] = False
+    full[mask] = gaps.astype(np.int64)
+    bases = flat.field("doc_base").to_numpy(zero_copy_only=False)
+    lasts = flat.field("doc_last").to_numpy(zero_copy_only=False)
+    full[bstarts[0]] = bases[0]
+    if nb > 1:
+        full[bstarts[1:]] = bases[1:] - lasts[:-1]
+    doc_ids = np.cumsum(full)
+    tfs = varint_decode(t_data[t_offs[0]:t_offs[nb]].tobytes(), total).astype(np.int64)
+    return doc_ids, tfs
+
+
+def _seg_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment sums for segments ``[offsets[i], offsets[i+1])`` — safe
+    for EMPTY segments (unlike np.add.reduceat)."""
+    cs = np.concatenate([[0], np.cumsum(values)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def _compact_shard_table(
+    t: pa.Table,
+    tomb: np.ndarray,
+    ids_sorted: np.ndarray,
+    dls_sorted: np.ndarray,
+    cfg: dict,
+    stats: dict,
+) -> tuple[pa.Table, int, int]:
+    """One shard file minus tombstoned postings → (table, n_before, n_after).
+
+    Global stats are FROZEN (taken from the manifest as built): df/cf stay
+    as stored, idf and tf_norm use the as-built n_docs/avgdl — so block-max
+    bounds remain valid and search results are bit-identical to the
+    tombstone-masked index. Terms whose postings are all dead are dropped
+    (observably identical: their masked postings were already empty)."""
+    from nmr_fair_dos_ray.codec import encode_group_blocks, varint_decode, varint_encode_all
+    from nmr_fair_dos_ray.search.engine import _binary_views
+
+    n_terms = t.num_rows
+    if n_terms == 0:
+        return t, 0, 0
+    blocks = t["blocks"].combine_chunks()
+    flat = blocks.flatten()
+    boff = blocks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    b_n = flat.field("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    docs, tfs = _decode_all_blocks(flat)
+    n_before = docs.size
+    pc_counts = _seg_sum(b_n, boff)  # postings per term
+    post_offs = np.concatenate([[0], np.cumsum(pc_counts)])
+    keep = ~_member(docs, tomb)
+    if keep.all():
+        return t, n_before, n_before
+    new_counts = _seg_sum(keep.astype(np.int64), post_offs)
+    keep_term = new_counts > 0
+    kept_docs, kept_tfs = docs[keep], tfs[keep]
+    pos_l = np.searchsorted(ids_sorted, kept_docs)
+    kept_dls = dls_sorted[pos_l]
+    df_old = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n_docs = float(stats["n_docs"])
+    idfs = np.log(1.0 + (n_docs - df_old + 0.5) / (df_old + 0.5))
+    # bounds must stay UPPER bounds vs the scorer's math.log-based idf: bump
+    # one ulp so a potential 1-ulp libm divergence can never under-bound
+    idfs = np.nextafter(idfs, np.inf)
+
+    cols: dict[str, pa.Array] = {}
+    cols["blocks"] = encode_group_blocks(
+        kept_docs, kept_tfs, kept_dls,
+        new_counts[keep_term], idfs[keep_term],
+        float(cfg["k1"]), float(cfg["b"]), float(stats["avgdl"]),
+        int(cfg["block_size"]),
+    )
+
+    if "champ_docs" in t.column_names:
+        champ = t["champ_docs"].combine_chunks()
+        c_off = champ.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        c_docs = np.asarray(champ.flatten())
+        c_tfn = np.asarray(t["champ_tfn"].combine_chunks().flatten())
+        c_keep = ~_member(c_docs, tomb)
+        new_c_counts = _seg_sum(c_keep.astype(np.int64), c_off)[keep_term]
+        new_c_off = np.concatenate([[0], np.cumsum(new_c_counts)]).astype(np.int32)
+        # flat champion values of kept terms, dead champions removed
+        term_of_champ = np.repeat(np.arange(n_terms), np.diff(c_off))
+        c_take = c_keep & keep_term[term_of_champ]
+        cols["champ_docs"] = pa.ListArray.from_arrays(
+            pa.array(new_c_off), pa.array(c_docs[c_take], pa.int64())
+        )
+        cols["champ_tfn"] = pa.ListArray.from_arrays(
+            pa.array(new_c_off), pa.array(c_tfn[c_take], pa.float64())
+        )
+
+    if "pos_stream" in t.column_names:
+        ps = t["pos_stream"].combine_chunks()
+        p_offs, p_data = _binary_views(ps)
+        has_pos = np.diff(p_offs) > 0  # field terms store empty streams
+        term_tf_sum = _seg_sum(tfs, post_offs)
+        n_vals = int(term_tf_sum[has_pos].sum())
+        term_of_post = np.repeat(np.arange(n_terms), pc_counts)
+        rel = has_pos[term_of_post]  # postings that carry position lists
+        if n_vals:
+            vals = varint_decode(p_data[p_offs[0]:p_offs[n_terms]].tobytes(), n_vals)
+            ptfs = tfs[rel]
+            starts = np.concatenate([[0], np.cumsum(ptfs)[:-1]])
+            c = np.cumsum(vals.astype(np.int64))
+            adjust = c[starts] - vals[starts].astype(np.int64)
+            abs_pos = c - np.repeat(adjust, ptfs)
+            keep_rel = keep[rel]
+            kept_abs = abs_pos[np.repeat(keep_rel, ptfs)]
+            kept_ptfs = ptfs[keep_rel]
+            if kept_ptfs.size:
+                s2 = np.concatenate([[0], np.cumsum(kept_ptfs)[:-1]])
+                deltas = np.empty_like(kept_abs)
+                deltas[1:] = kept_abs[1:] - kept_abs[:-1]
+                deltas[s2] = kept_abs[s2]
+                data2, nb2 = varint_encode_all(deltas.astype(np.uint64))
+                # bytes per kept positional posting → bytes per term
+                post_b = _seg_sum(nb2, np.concatenate([s2, [kept_abs.size]]))
+            else:
+                data2 = np.empty(0, np.uint8)
+                post_b = np.empty(0, np.int64)
+            # per-term new byte counts: sum posting bytes over each term's
+            # KEPT positional postings
+            term_of_rel = term_of_post[rel][keep_rel]
+            new_term_b = np.zeros(n_terms, np.int64)
+            np.add.at(new_term_b, term_of_rel, post_b)
+        else:
+            data2 = np.empty(0, np.uint8)
+            new_term_b = np.zeros(n_terms, np.int64)
+        new_b_kept = new_term_b[keep_term]
+        np_off = np.concatenate([[0], np.cumsum(new_b_kept)]).astype(np.int64)
+        cols["pos_stream"] = pa.Array.from_buffers(
+            pa.binary(), int(keep_term.sum()),
+            [None, pa.py_buffer(np_off.astype(np.int32).tobytes()),
+             pa.py_buffer(data2.tobytes())],
+        )
+
+    keep_pa = pa.array(keep_term)
+    arrays = []
+    for name in t.schema.names:
+        if name in cols:
+            arrays.append(cols[name])
+        else:  # term / term_hash / df / cf — frozen, filtered to kept terms
+            arrays.append(t[name].combine_chunks().filter(keep_pa))
+    return pa.table(dict(zip(t.schema.names, arrays))), n_before, int(keep.sum())
+
+
+def compact_index(index_dir: str, concurrency: int | None = None) -> dict:
+    """Physically remove tombstoned postings ("expunge deletes", the Lucene
+    segment-merge analog): rewrite every shard file minus dead postings
+    (blocks re-encoded, champion lists and positional streams filtered),
+    drop dead rows from the doc store, then clear the tombstone file.
+
+    Search results are BIT-IDENTICAL before and after (frozen global stats;
+    tested in tests/test_lifecycle.py) — compaction only reclaims space and
+    decode work. Distributed shape: one task per shard/docs file, no
+    shuffle; each task does decode → mask → re-encode and atomically
+    replaces its file, so a crashed compaction resumes safely (tombstones
+    are cleared only after every file is rewritten; re-masking an
+    already-compacted file is a no-op)."""
+    import ray
+    import ray.data as rd
+
+    tomb = read_tombstones(index_dir)
+    if tomb.size == 0:
+        return {"files": 0, "postings_removed": 0, "docs_removed": 0}
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    cfg, stats = manifest["config"], manifest["stats"]
+    shards_dir = os.path.join(index_dir, "shards")
+    docs_dir = os.path.join(index_dir, "docs")
+    shard_files = sorted(
+        os.path.join(shards_dir, p) for p in os.listdir(shards_dir)
+        if p.endswith(".parquet")
+    )
+    docs_files = sorted(
+        os.path.join(docs_dir, p) for p in os.listdir(docs_dir)
+        if p.endswith(".parquet")
+    )
+    docs_tbl = pq.read_table(docs_dir, columns=["doc_id", "doclen"])
+    ids = docs_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    state_ref = ray.put(
+        (ids[order], docs_tbl["doclen"].to_numpy(zero_copy_only=False)[order], tomb)
+    )
+
+    class CompactTask:
+        def __init__(self, state):
+            self.ids_sorted, self.dls_sorted, self.tomb = ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for it in batch.to_pylist():
+                t0 = time.time()
+                path = it["path"]
+                tbl = pq.read_table(path)
+                if it["kind"] == "shard":
+                    new, nb, na = _compact_shard_table(
+                        tbl, self.tomb, self.ids_sorted, self.dls_sorted,
+                        cfg, stats,
+                    )
+                else:  # docs file: drop dead rows (postings already gone)
+                    dead = _member(
+                        tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        self.tomb,
+                    )
+                    nb = tbl.num_rows
+                    new = tbl.filter(pa.array(~dead))
+                    na = new.num_rows
+                if na != nb:
+                    tmp = path + f".compact-{os.getpid()}"
+                    pq.write_table(new, tmp)
+                    os.replace(tmp, path)
+                rows.append({"path": path, "kind": it["kind"],
+                             "n_before": int(nb), "n_after": int(na),
+                             "wall_sec": time.time() - t0})
+            return pa.Table.from_pylist(rows)
+
+    items = [{"path": p, "kind": "shard"} for p in shard_files] + [
+        {"path": p, "kind": "docs"} for p in docs_files
+    ]
+    conc = concurrency or min(16, max(1, len(items)))
+    res = (
+        rd.from_items(items)
+        .map_batches(
+            CompactTask, batch_size=1, batch_format="pyarrow",
+            concurrency=(1, conc), fn_constructor_args=(state_ref,),
+        )
+        .to_pandas()
+    )
+    sh = res[res["kind"] == "shard"]
+    dc = res[res["kind"] == "docs"]
+    out = {
+        "files": int(len(res)),
+        "postings_removed": int((sh["n_before"] - sh["n_after"]).sum()),
+        "docs_removed": int((dc["n_before"] - dc["n_after"]).sum()),
+        "n_tombstones": int(tomb.size),
+    }
+    clear_tombstones(index_dir)
+    from nmr_fair_dos_ray.state.manifest import Manifest
+
+    man = Manifest(index_dir)
+    man.stage("compact").update(status="done", **out)
+    man.save()
+    return out

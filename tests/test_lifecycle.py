@@ -140,6 +140,55 @@ def test_sharded_serving_honors_tombstones(idx):
         pool.shutdown()
 
 
+def test_compaction_is_bit_identical_and_shrinks(idx):
+    import glob
+
+    from nmr_fair_dos_ray.pipelines.lifecycle import compact_index
+
+    s0 = Searcher(IndexReader(DIR))
+    full = {q: _full_ranking(s0, q) for q in QUERIES}
+    victims = sorted(
+        {d for q in QUERIES for d, _ in full[q][:6]}
+        | set(IndexReader(DIR).postings("lang:go")[0][:10].tolist())
+    )
+    delete_docs(DIR, victims)
+
+    r_del = IndexReader(DIR)
+    s_del = Searcher(r_del)
+    before = {
+        "bmw": {q: s_del.search(q, k=10, algorithm="bmw") for q in QUERIES},
+        "taat": {q: s_del.search(q, k=10, algorithm="taat") for q in QUERIES},
+        "and": {q: s_del.search_and(q, k=10) for q in QUERIES},
+        "phrase": s_del.search_phrase("def return", k=50),
+        "facets": s_del.facet_counts(QUERIES[0], "lang"),
+        "exact": s_del.search("lang:go", k=1000),
+    }
+    bytes_before = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(DIR, "shards", "*.parquet"))
+    )
+    summary = compact_index(DIR)
+    assert summary["postings_removed"] > 0
+    assert summary["docs_removed"] == len(victims)
+    assert read_tombstones(DIR).size == 0  # cleared after full rewrite
+
+    r_c = IndexReader(DIR)
+    assert r_c._tomb is None
+    s_c = Searcher(r_c)
+    for q in QUERIES:
+        assert s_c.search(q, k=10, algorithm="bmw") == before["bmw"][q], q
+        assert s_c.search(q, k=10, algorithm="taat") == before["taat"][q], q
+        assert s_c.search_and(q, k=10) == before["and"][q], q
+    assert s_c.search_phrase("def return", k=50) == before["phrase"]
+    assert s_c.facet_counts(QUERIES[0], "lang") == before["facets"]
+    assert s_c.search("lang:go", k=1000) == before["exact"]
+    bytes_after = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(DIR, "shards", "*.parquet"))
+    )
+    assert bytes_after < bytes_before
+    # compaction is idempotent: no tombstones → no-op
+    assert compact_index(DIR)["files"] == 0
+
+
 def test_upsert_latest_retires_old_versions(idx, tmp_path):
     corpus_dir = tmp_path / "corpus"
     corpus_dir.mkdir()
