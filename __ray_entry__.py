@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phrase_search": dp.q_phrase_search,
         "q_and_search": dp.q_and_search,
         "q_delete_search": dp.q_delete_search,
+        "q_prefix_search": dp.q_prefix_search,
+        "q_fuzzy_search": dp.q_fuzzy_search,
         "q_search_facets": dp.q_search_facets,
         # text analysis / training-data ops
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
@@ -307,6 +309,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_exact_lookup": """
             SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id
+        """,
+        # prefix search: dictionary expansion = LIKE 'p%', then the standard
+        # per-term-df BM25 disjunction (scoring_boolean rewrite semantics)
+        "q_prefix_search": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term LIKE 's%'
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+        """,
+        # fuzzy search: expansion = terms within Levenshtein distance 1 of
+        # any query term (plain levenshtein, exactly the engine's verify
+        # metric), scored as the same per-term-df disjunction
+        "q_fuzzy_search": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE levenshtein(term, 'sow') <= 1
+                   OR levenshtein(term, 'joim') <= 1
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
         """,
         # tombstone-delete search: stats CTEs run over the FULL corpus
         # (frozen-stats delete semantics, pipelines/lifecycle.py) — only the

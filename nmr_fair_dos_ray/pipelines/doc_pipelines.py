@@ -138,6 +138,42 @@ def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     )
 
 
+PREFIX_QUERY = "s"       # expands to slow/small/sort/scan/spark/stream
+FUZZY_QUERY = "sow joim"  # lev-1 → {slow, row} ∪ {join}
+
+
+def q_prefix_search(sf_dir: str) -> pd.DataFrame:
+    """Prefix-query top-10 (ES ``prefix`` with scoring_boolean rewrite):
+    dictionary expansion then ordinary disjunctive BM25 — each expanded
+    term scored with its own df/idf, so the oracle is the q_bm25_top10 SQL
+    with ``term LIKE 'p%'`` instead of a fixed term list."""
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    hits = s.search_prefix(PREFIX_QUERY, k=10)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
+def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy top-10 (ES ``fuzziness`` analog): every query term expands to
+    index terms within Levenshtein distance 1 (SymSpell deletion index +
+    exact-distance verify — plain Levenshtein, the same metric as DuckDB's
+    ``levenshtein()``), the union scored as a disjunction."""
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    hits = s.search_fuzzy(FUZZY_QUERY, k=10, max_edits=1)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
 def q_delete_search(sf_dir: str) -> pd.DataFrame:
     """Search after a tombstone delete (document lifecycle,
     pipelines/lifecycle.py): delete every doc of one source via the ES

@@ -173,6 +173,19 @@ class ShardActor:
             return np.empty(0, np.int64)
         return r.postings(term)[0]
 
+    def expand_prefix(self, prefix: str, max_expansions: int | None) -> list[str]:
+        """Prefix expansion over THIS slot's term dictionary (the union over
+        slots is the global expansion — dictionary sharding parallelizes the
+        scan). The per-slot cap keeps each slot's contribution bounded; the
+        router re-applies the global (df desc, term asc) cap."""
+        return self.reader.expand_prefix(prefix, max_expansions)
+
+    def expand_fuzzy(self, term: str, max_edits: int) -> list[str]:
+        """Fuzzy expansion over this slot's dictionary — the SymSpell
+        deletion index builds once per actor (slot-local, ~1/pool_size of
+        the terms) on first use."""
+        return self.reader.expand_fuzzy(term, max_edits)
+
 
 class ShardedSearcher:
     """Scatter-gather top-k over a :class:`ShardActor` pool."""
@@ -285,6 +298,65 @@ class ShardedSearcher:
         for slot, fut in futures.items():
             gathered.update(ray.get(fut))
         return self._merge(terms, gathered, allowed, k)
+
+    def _score_list(
+        self, terms: list[str], k: int, allowed: np.ndarray | None = None
+    ) -> list[tuple[int, float]]:
+        """Scatter-gather scoring of a pre-expanded SORTED term list (no
+        pruning round — expansion lists are typically short/rare terms)."""
+        if not terms:
+            if allowed is None:
+                return []
+            return [(int(d), 0.0) for d in np.sort(allowed)[:k]]
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in terms:
+            by_actor[self._route(t)].append(t)
+        gathered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        futures = {
+            slot: self.actors[slot].score_terms.remote(ts)
+            for slot, ts in by_actor.items()
+        }
+        for slot, fut in futures.items():
+            gathered.update(ray.get(fut))
+        return self._merge(terms, gathered, allowed, k)
+
+    def search_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Distributed prefix query: every slot expands over its ~1/P of the
+        term dictionary in parallel; the union is the global expansion (each
+        slot's top-N by df is a superset contributor to the global top-N, so
+        a router-side re-cap by (df desc, term asc) is exact). Results are
+        bit-equal to the local :meth:`Searcher.search_prefix`."""
+        p = prefix.strip().lower()
+        futs = [a.expand_prefix.remote(p, max_expansions) for a in self.actors]
+        terms = sorted(set().union(*[set(x) for x in ray.get(futs)]))
+        if max_expansions is not None and len(terms) > max_expansions:
+            meta = self._term_meta(terms)
+            top = sorted(terms, key=lambda t: (-meta[t][0], t))[:max_expansions]
+            terms = sorted(top)
+        return self._score_list(terms, k)
+
+    def search_fuzzy(
+        self, query: str, k: int = 10, max_edits: int = 1
+    ) -> list[tuple[int, float]]:
+        """Distributed fuzzy query: each slot runs SymSpell expansion over
+        its own dictionary shard (deletion index builds once per actor);
+        the union of expansions scores as one disjunction — bit-equal to the
+        local :meth:`Searcher.search_fuzzy`."""
+        base, exact = self.tokenizer.tokenize_query(query)
+        allowed: np.ndarray | None = None
+        for t in exact:
+            docs = ray.get(self.actors[self._route(t)].exact_docs.remote(t))
+            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+        futs = [
+            a.expand_fuzzy.remote(t, max_edits)
+            for t in base for a in self.actors
+        ]
+        expanded: set[str] = set()
+        for lst in ray.get(futs):
+            expanded.update(lst)
+        return self._score_list(sorted(expanded), k, allowed)
 
     @staticmethod
     def _merge(terms, gathered, allowed, k) -> list[tuple[int, float]]:

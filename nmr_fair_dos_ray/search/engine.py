@@ -250,6 +250,7 @@ class IndexReader:
         self.blocks_decoded = 0  # cumulative; see _decode_range
         self._tid_cache: dict[str, int | None] = {}
         self._tomb = st.get("tomb")  # sorted unique np.int64 doc_ids or None
+        self._fuzzy_del: dict[int, dict[str, list[int]]] = {}  # per max_edits
         self.terms = _TermsView(self)
         self._doc_ids_sorted = st["doc_ids_sorted"]
         self._doclens_sorted = st["doclens_sorted"]
@@ -381,6 +382,64 @@ class IndexReader:
             self._prefix_cache[prefix] = hit
         return hit
 
+    def expand_prefix(
+        self, prefix: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Index terms starting with ``prefix``, for prefix-query rewrite
+        (the ES ``prefix`` / ``match_phrase_prefix`` rewrite step — the
+        reference's ES backend answers these from the same term dictionary).
+
+        Synthetic exact-field terms (``lang:…``) are excluded unless the
+        prefix itself is field-scoped (contains ``:``). With
+        ``max_expansions`` the expansion keeps the top terms by (df desc,
+        term asc) — ES's ``top_terms_N`` rewrite — re-sorted ascending so
+        scoring stays in sorted-unique-term order (bit-equal to an explicit
+        multi-term query). Deterministic either way."""
+        terms = self.terms_with_prefix(prefix)
+        if ":" not in prefix:
+            terms = [t for t in terms if ":" not in t]
+        if max_expansions is not None and len(terms) > max_expansions:
+            dfs = np.array([int(self._df[self._lookup(t)]) for t in terms])
+            order = np.lexsort((np.array(terms), -dfs))[:max_expansions]
+            terms = sorted(np.array(terms)[order].tolist())
+        return terms
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1) -> list[str]:
+        """Index terms within Levenshtein distance ``max_edits`` of ``term``
+        (the ES ``fuzziness`` expansion), via a SymSpell-style deletion
+        index: if lev(a, b) ≤ e then some ≤e-deletion variant of a equals
+        one of b, so candidates = dictionary terms sharing a deletion
+        variant, verified with the true (plain, transposition-free)
+        distance — the same metric DuckDB's ``levenshtein()`` computes, so
+        the expansion is SQL-oracle-checkable.
+
+        The deletion index builds lazily ONCE per reader (i.e. once per
+        serving actor — the stateful-stage pattern) over this reader's term
+        dictionary; term-sharded serving slots each index only their ~1/P of
+        the dictionary, so build cost and memory shard with the terms."""
+        if max_edits not in (1, 2):
+            raise ValueError("max_edits must be 1 or 2")
+        idx = self._fuzzy_del.get(max_edits)
+        if idx is None:
+            idx = {}
+            for tid in range(len(self._terms_arr)):
+                t = self._terms_arr[tid].as_py()
+                if ":" in t:
+                    continue
+                for v in _deletion_variants(t, max_edits):
+                    idx.setdefault(v, []).append(tid)
+            self._fuzzy_del[max_edits] = idx
+        q = term.lower()
+        cand_ids: set[int] = set()
+        for v in _deletion_variants(q, max_edits):
+            cand_ids.update(idx.get(v, ()))
+        out = []
+        for tid in cand_ids:
+            t = self._terms_arr[tid].as_py()
+            if _levenshtein_leq(q, t, max_edits):
+                out.append(t)
+        return sorted(out)
+
     def positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Decoded positional postings of ``term``:
         ``(doc_ids, list_offsets, positions_flat)`` where doc ``doc_ids[i]``'s
@@ -470,6 +529,50 @@ class IndexReader:
         if dm is not None:
             out[dm] = 0  # block path decodes raw; deleted docs read as absent
         return out
+
+
+def _deletion_variants(term: str, max_edits: int) -> set[str]:
+    """The term plus every string reachable by deleting ≤ max_edits chars."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max_edits):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Plain Levenshtein distance ≤ k (banded DP, no transpositions — the
+    same metric as DuckDB/Postgres ``levenshtein``, keeping fuzzy expansion
+    SQL-oracle-checkable)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        if hi < lb:
+            cur[hi + 1 :] = [k + 1] * (lb - hi)
+        prev = cur
+        if min(prev[lo - 1 : hi + 1] or [k + 1]) > k:
+            return False
+    return prev[lb] <= k
 
 
 def _binary_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -650,6 +753,43 @@ class Searcher:
             docs, _ = self.r.postings(t)
             allowed = docs if allowed is None else np.intersect1d(allowed, docs)
         return allowed
+
+    # ------------------------------------------------------------- prefix
+    def search_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Prefix-query top-k (ES ``prefix`` with ``rewrite=scoring_boolean``):
+        expand ``prefix`` over the term dictionary, score the expanded terms
+        as an ordinary disjunction — each with its OWN df/idf, accumulated in
+        sorted term order — so results are bit-equal to :meth:`search` over
+        a query that spells the expanded terms out. Scale: expansion is one
+        memoized vectorized dictionary scan; scoring cost is the expanded
+        lists' postings (``max_expansions`` caps it, ES ``top_terms_N``)."""
+        terms = self.r.expand_prefix(prefix.strip().lower(), max_expansions)
+        if not terms:
+            return []
+        return self._taat(terms, k, None)
+
+    # -------------------------------------------------------------- fuzzy
+    def search_fuzzy(
+        self, query: str, k: int = 10, max_edits: int = 1
+    ) -> list[tuple[int, float]]:
+        """Fuzzy top-k (ES ``match`` with ``fuzziness``): each analyzed
+        query term expands to every index term within ``max_edits``
+        Levenshtein edits (SymSpell deletion-index candidates, verified with
+        the true distance), and the UNION of expansions scores as a
+        disjunction in sorted term order — bit-equal to spelling the matched
+        terms out, and SQL-expressible as ``levenshtein(term, q) <= e``."""
+        base, exact = self.r.tokenizer.tokenize_query(query)
+        allowed = self._exact_candidates(exact)
+        expanded: set[str] = set()
+        for t in base:
+            expanded.update(self.r.expand_fuzzy(t, max_edits))
+        if not expanded:
+            if allowed is None:
+                return []
+            return [(int(d), 0.0) for d in np.sort(allowed)[:k]]
+        return self._taat(sorted(expanded), k, allowed)
 
     # ----------------------------------------------------------- conjunctive
     def search_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
