@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_delete_search": dp.q_delete_search,
         "q_prefix_search": dp.q_prefix_search,
         "q_fuzzy_search": dp.q_fuzzy_search,
+        "q_query_string": dp.q_query_string,
         "q_search_facets": dp.q_search_facets,
         # text analysis / training-data ops
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
@@ -381,6 +382,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 4) AS score
             FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+        """,
+        # query-string search: scored disjunction over {data, query, slow,
+        # val*} with candidates = has 'query' AND phrase "slow query", minus
+        # docs containing 'small' (mirrors QS_QUERY in doc_pipelines.py)
+        "q_query_string": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('data', 'query', 'slow') OR term LIKE 'val%'
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            ),
+            ptoks AS (
+                SELECT doc_id, unnest(l) AS term,
+                       unnest(range(len(l))) AS pos
+                FROM (SELECT doc_id, {_TOKENS} AS l FROM documents)
+            ),
+            phrase AS (
+                SELECT DISTINCT a.doc_id FROM ptoks a JOIN ptoks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                WHERE a.term = 'slow' AND b.term = 'query'
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (
+                SELECT s.doc_id, s.score FROM scores s
+                WHERE s.doc_id IN (SELECT doc_id FROM toks WHERE term = 'query')
+                  AND s.doc_id IN (SELECT doc_id FROM phrase)
+                  AND s.doc_id NOT IN (
+                      SELECT doc_id FROM toks WHERE term = 'small')
+                ORDER BY s.score DESC, s.doc_id LIMIT 10
+            )
         """,
         # tombstone-delete search: stats CTEs run over the FULL corpus
         # (frozen-stats delete semantics, pipelines/lifecycle.py) — only the

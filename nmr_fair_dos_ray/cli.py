@@ -71,9 +71,21 @@ def cmd_search(args: argparse.Namespace) -> int:
     from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
 
     s = Searcher(IndexReader(args.index))
-    hits = s.search(args.query, k=args.k, algorithm=args.algorithm)
+    mode = args.mode
+    if mode == "bm25":
+        hits = s.search(args.query, k=args.k, algorithm=args.algorithm)
+    elif mode == "and":
+        hits = s.search_and(args.query, k=args.k)
+    elif mode == "phrase":
+        hits = s.search_phrase(args.query, k=args.k)
+    elif mode == "prefix":
+        hits = s.search_prefix(args.query, k=args.k)
+    elif mode == "fuzzy":
+        hits = s.search_fuzzy(args.query, k=args.k, max_edits=args.max_edits)
+    else:  # query-string grammar (+term -term "phrase" field:v pref* term~)
+        hits = s.search_query(args.query, k=args.k)
     print(json.dumps(
-        {"query": args.query,
+        {"query": args.query, "mode": mode,
          "hits": [{"rank": i + 1, "doc_id": d, "score": sc}
                   for i, (d, sc) in enumerate(hits)]}
     ))
@@ -113,6 +125,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--algorithm", choices=("bmw", "taat"), default="bmw")
+    s.add_argument(
+        "--mode",
+        choices=("bm25", "and", "phrase", "prefix", "fuzzy", "query"),
+        default="bm25",
+        help="query type: ranked disjunction, conjunctive, exact phrase, "
+             "prefix expansion, fuzzy (Levenshtein) expansion, or the full "
+             "query-string grammar",
+    )
+    s.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("stats", help="print index stats")

@@ -174,6 +174,26 @@ def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
     )
 
 
+QS_QUERY = 'data +query -small "slow query" val*'
+
+
+def q_query_string(sf_dir: str) -> pd.DataFrame:
+    """Unified query-string search (ES ``query_string`` analog) over the
+    positional index: scored disjunction {data, query, slow, val*-expansion},
+    candidates = docs containing ``query`` AND the exact phrase
+    ``"slow query"``, minus docs containing ``small``. Every piece is
+    SQL-expressible, so the oracle reproduces the whole pipeline."""
+    idx = documents_index(sf_dir, positions=True)
+    s = Searcher(IndexReader(idx))
+    hits = s.search_query(QS_QUERY, k=10)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
 def q_delete_search(sf_dir: str) -> pd.DataFrame:
     """Search after a tombstone delete (document lifecycle,
     pipelines/lifecycle.py): delete every doc of one source via the ES

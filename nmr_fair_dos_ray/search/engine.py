@@ -754,6 +754,91 @@ class Searcher:
             allowed = docs if allowed is None else np.intersect1d(allowed, docs)
         return allowed
 
+    # --------------------------------------------------------- query string
+    def search_query(
+        self, query: str, k: int = 10, max_expansions: int | None = None,
+        max_edits: int = 1,
+    ) -> list[tuple[int, float]]:
+        """Unified query-string search (the ES ``query_string`` analog),
+        composed from the engine's primitives. Grammar, per whitespace atom:
+
+        ====================  ================================================
+        ``term``              scored (disjunctive BM25, the default OR)
+        ``+term``             scored AND required (``bool.must``)
+        ``-term``             excluded (``bool.must_not``)
+        ``"a b"``             exact phrase required (positional index)
+        ``-"a b"``            phrase excluded
+        ``field:v``           exact filter; ``-field:v`` excludes
+        ``pref*``             prefix expansion, scored
+        ``term~`` / ``t~2``   fuzzy expansion (≤1 / ≤2 edits), scored
+        ====================  ================================================
+
+        Scoring: one BM25 sum over the union of scored atoms' analyzed /
+        expanded terms, accumulated in sorted term order — bit-equal to
+        :meth:`search` over the equivalent expanded query. Constraints only
+        shape the candidate set (required/phrase/field intersect, negations
+        subtract); constraint-only queries return doc_id-ordered matches
+        with score 0.0 (the exact-verification convention)."""
+        import re
+
+        r = self.r
+        score_set: set[str] = set()
+        musts: list[np.ndarray] = []
+        nots: list[np.ndarray] = []
+        exact: list[str] = []
+        from nmr_fair_dos_ray.tokenizer import EXACT_FIELD_PREFIXES
+
+        for neg, body in re.findall(r'([+-]?)("[^"]*"|\S+)', query):
+            if body.startswith('"'):
+                docs, _ = self._phrase_match(body.strip('"'))
+                (nots if neg == "-" else musts).append(docs)
+                if neg != "-":  # phrase terms also contribute to the score
+                    score_set.update(r.tokenizer.tokenize(body.strip('"')))
+                continue
+            if body.startswith(EXACT_FIELD_PREFIXES):
+                if neg == "-":
+                    nots.append(r.postings(body)[0])
+                else:
+                    exact.append(body)
+                continue
+            if neg == "-":
+                for t in r.tokenizer.tokenize(body):
+                    nots.append(r.postings(t)[0])
+                continue
+            m = re.fullmatch(r"(.+?)~(\d?)", body)
+            if m:
+                e = int(m.group(2) or max_edits)
+                for t in r.tokenizer.tokenize(m.group(1)):
+                    score_set.update(r.expand_fuzzy(t, min(max(e, 1), 2)))
+                continue
+            if body.endswith("*") and len(body) > 1:
+                score_set.update(
+                    r.expand_prefix(body[:-1].lower(), max_expansions)
+                )
+                continue
+            toks = r.tokenizer.tokenize(body)
+            score_set.update(toks)
+            if neg == "+":  # required AND scored
+                for t in toks:
+                    musts.append(r.postings(t)[0])
+
+        allowed = self._exact_candidates(exact)
+        for docs in musts:
+            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            if allowed.size == 0:
+                return []
+        forbidden = (
+            np.unique(np.concatenate(nots)) if nots else None
+        )
+        terms = sorted(score_set)
+        if not terms:
+            if allowed is None:
+                return []
+            if forbidden is not None and forbidden.size:
+                allowed = np.setdiff1d(allowed, forbidden)
+            return [(int(d), 0.0) for d in np.sort(allowed)[:k]]
+        return self._taat(terms, k, allowed, forbidden)
+
     # ------------------------------------------------------------- prefix
     def search_prefix(
         self, prefix: str, k: int = 10, max_expansions: int | None = None
@@ -842,29 +927,36 @@ class Searcher:
         phrase spanning shards fetches each term's positional postings from
         its owner — same partitioning assumption as ranked search.
         """
+        docs_m, counts = self._phrase_match(phrase)
+        order = np.lexsort((docs_m, -counts))[:k]
+        return [(int(docs_m[i]), int(counts[i])) for i in order]
+
+    def _phrase_match(self, phrase: str) -> tuple[np.ndarray, np.ndarray]:
+        """All docs containing the exact phrase → (sorted doc_ids, counts)."""
         r = self.r
         if not r.has_positions:
             raise ValueError(
                 "index was built without store_positions=True; phrase search "
                 "needs positional postings"
             )
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         terms = r.tokenizer.tokenize(phrase)
         if not terms:
-            return []
+            return empty
         plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         inter: np.ndarray | None = None
         for t in terms:
             if t not in plists:
                 p = r.positions(t)
                 if p is None:
-                    return []  # absent term (or field term) ⇒ no phrase match
+                    return empty  # absent term (or field term) ⇒ no match
                 plists[t] = p
             inter = (
                 plists[t][0] if inter is None
                 else np.intersect1d(inter, plists[t][0])
             )
             if inter.size == 0:
-                return []
+                return empty
 
         # composite keys: doc * K + pos. K is per-query (max position + 2),
         # so key arithmetic never overflows int64 even at 10^12 docs.
@@ -889,10 +981,8 @@ class Searcher:
         for t in terms[1:]:
             ends = np.intersect1d(ends + 1, _keys(t))
             if ends.size == 0:
-                return []
-        docs_m, counts = np.unique(ends // K, return_counts=True)
-        order = np.lexsort((docs_m, -counts))[:k]
-        return [(int(docs_m[i]), int(counts[i])) for i in order]
+                return empty
+        return np.unique(ends // K, return_counts=True)
 
     # ---------------------------------------------------------------- facets
     def facet_counts(self, query: str, facet_field: str) -> list[tuple[str, int]]:
@@ -930,7 +1020,10 @@ class Searcher:
         return out
 
     # ----------------------------------------------------------------- taat
-    def _taat(self, terms: list[str], k: int, allowed: np.ndarray | None) -> list[tuple[int, float]]:
+    def _taat(
+        self, terms: list[str], k: int, allowed: np.ndarray | None,
+        forbidden: np.ndarray | None = None,
+    ) -> list[tuple[int, float]]:
         """Term-at-a-time, fully vectorized.
 
         One vectorized add per term, applied in sorted term order (indices are
@@ -956,6 +1049,9 @@ class Searcher:
             acc[np.searchsorted(uniq, docs)] += scores
         if allowed is not None:
             m = np.isin(uniq, allowed)
+            uniq, acc = uniq[m], acc[m]
+        if forbidden is not None and forbidden.size and uniq.size:
+            m = ~np.isin(uniq, forbidden)
             uniq, acc = uniq[m], acc[m]
         if uniq.size == 0:
             return []

@@ -1,0 +1,112 @@
+"""Query-string search (`Searcher.search_query`): the ES query_string analog.
+
+Contract: every atom is a rewrite onto tested primitives, so each grammar
+feature must be reproducible by an explicit combination of `search`,
+`search_phrase`, `expand_prefix` / `expand_fuzzy` and posting-set algebra —
+with bit-identical scores (frozen sorted-term accumulation order).
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+
+DIR = "/tmp/nmr_fair_dos_ray/test_query_string_idx"
+CFG = IndexConfig(
+    token_cols=("path", "lang"),
+    field_cols=("repo", "lang"),
+    stored_cols=("repo",),
+    num_shards=4,
+    store_positions=True,
+)
+
+
+@pytest.fixture(scope="module")
+def s(sf_unit):
+    shutil.rmtree(DIR, ignore_errors=True)
+    build_index(sf_unit["corpus"], DIR, CFG)
+    return Searcher(IndexReader(DIR))
+
+
+def _full(s, q):
+    return s.search(q, k=10_000, algorithm="taat")
+
+
+def test_bare_terms_equal_search(s):
+    for q in ("self return self", "user name", "config"):
+        assert s.search_query(q, k=10) == s.search(q, k=10), q
+
+
+def test_negation_excludes_and_keeps_scores(s):
+    base = _full(s, "self return")
+    excl = set(s.r.postings("self")[0].tolist())
+    want = [(d, sc) for d, sc in base if d not in excl][:10]
+    assert s.search_query("self return -self", k=10) == want
+
+
+def test_required_term_intersects_and_keeps_scores(s):
+    base = _full(s, "def config")
+    need = set(s.r.postings("config")[0].tolist())
+    want = [(d, sc) for d, sc in base if d in need][:10]
+    assert s.search_query("def +config", k=10) == want
+
+
+def test_field_filter_and_negated_field(s):
+    langs = s.r.terms_with_prefix("lang:")
+    lv = langs[0]
+    assert s.search_query(f"def {lv}", k=10) == s.search(f"def {lv}", k=10)
+    base = _full(s, "def")
+    excl = set(s.r.postings(lv)[0].tolist())
+    want = [(d, sc) for d, sc in base if d not in excl][:10]
+    assert s.search_query(f"def -{lv}", k=10) == want
+
+
+def test_phrase_atom_required_and_negated(s):
+    ph_docs = {d for d, _ in s.search_phrase("self return", k=10_000)}
+    assert ph_docs, "fixture phrase must match"
+    got = s.search_query('"self return"', k=10)
+    assert got and all(d in ph_docs for d, _ in got)
+    # phrase terms are scored: equal to search over them, filtered to matches
+    base = _full(s, "self return")
+    want = [(d, sc) for d, sc in base if d in ph_docs][:10]
+    assert got == want
+    neg = s.search_query('def -"self return"', k=10)
+    assert all(d not in ph_docs for d, _ in neg)
+
+
+def test_prefix_and_fuzzy_atoms(s):
+    exp = set(s.r.expand_prefix("conf"))
+    exp.add("merge")
+    want = s._taat(sorted(exp), 10, None)
+    assert s.search_query("conf* merge", k=10) == want
+    fz = set(s.r.expand_fuzzy("retrn", 1))
+    assert fz
+    assert s.search_query("retrn~", k=10) == s._taat(sorted(fz), 10, None)
+    fz2 = set(s.r.expand_fuzzy("retrn", 2))
+    assert s.search_query("retrn~2", k=10) == s._taat(sorted(fz2), 10, None)
+
+
+def test_constraint_only_and_empty(s):
+    langs = s.r.terms_with_prefix("lang:")
+    lv = langs[0]
+    docs = np.sort(s.r.postings(lv)[0])
+    assert s.search_query(lv, k=5) == [(int(d), 0.0) for d in docs[:5]]
+    assert s.search_query("", k=5) == []
+    assert s.search_query("-def", k=5) == []  # pure negation: no candidates
+
+
+def test_combined_grammar(s):
+    q = 'def +return -merge "self return" conf*'
+    got = s.search_query(q, k=10)
+    score_set = {"def", "return", "self"} | set(s.r.expand_prefix("conf"))
+    need = set(s.r.postings("return")[0].tolist()) & {
+        d for d, _ in s.search_phrase("self return", k=10_000)
+    }
+    excl = set(s.r.postings("merge")[0].tolist())
+    full = s._taat(sorted(score_set), 10_000, None)
+    want = [(d, sc) for d, sc in full if d in need and d not in excl][:10]
+    assert want, "combined query must keep some hits"
+    assert got == want
