@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_prefix_search": dp.q_prefix_search,
         "q_fuzzy_search": dp.q_fuzzy_search,
         "q_query_string": dp.q_query_string,
+        "q_snippets": dp.q_snippets,
         "q_search_facets": dp.q_search_facets,
         # text analysis / training-data ops
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
@@ -382,6 +383,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 4) AS score
             FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+        """,
+        # snippets: best 8-token window per BM25-top-10 doc — window starts
+        # at a matched token, count desc then start asc; snippet = analyzed
+        # tokens of the window joined by spaces
+        "q_snippets": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('data', 'pipeline', 'query')
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            ),
+            top10 AS (
+                SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 10
+            ),
+            lists AS (
+                SELECT doc_id, {_TOKENS} AS l FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM top10)
+            ),
+            ptoks AS (
+                SELECT doc_id, unnest(l) AS term,
+                       unnest(range(len(l))) AS pos
+                FROM lists
+            ),
+            matched AS (
+                SELECT doc_id, pos FROM ptoks
+                WHERE term IN ('data', 'pipeline', 'query')
+            ),
+            win AS (
+                SELECT a.doc_id, a.pos AS start, count(*) AS n
+                FROM matched a JOIN matched b
+                  ON a.doc_id = b.doc_id
+                 AND b.pos >= a.pos AND b.pos < a.pos + 8
+                GROUP BY a.doc_id, a.pos
+            ),
+            best AS (
+                SELECT doc_id, start, n FROM (
+                    SELECT doc_id, start, n,
+                           row_number() OVER (
+                               PARTITION BY doc_id
+                               ORDER BY n DESC, start ASC) AS rn
+                    FROM win
+                ) WHERE rn = 1
+            )
+            SELECT l.doc_id,
+                   b.n AS n_matched,
+                   array_to_string(l.l[b.start + 1 : b.start + 8], ' ') AS snippet
+            FROM lists l JOIN best b ON l.doc_id = b.doc_id
+            ORDER BY l.doc_id
         """,
         # query-string search: scored disjunction over {data, query, slow,
         # val*} with candidates = has 'query' AND phrase "slow query", minus

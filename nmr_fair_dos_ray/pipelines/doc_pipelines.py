@@ -19,6 +19,7 @@ from dataclasses import replace
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -172,6 +173,39 @@ def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
             "score": [round_half_away(sc, 4) for _, sc in hits],
         }
     )
+
+
+SNIPPET_WINDOW = 8
+
+
+def q_snippets(sf_dir: str) -> pd.DataFrame:
+    """Fetch-phase highlighting (ES highlighter analog): for the BM25
+    top-10 docs, the 8-token window with the most query-term occurrences
+    (earliest tie). The read prunes to the 10 hit rows (filter pushdown);
+    the stage is the vectorized actor-pool SnippetStage."""
+    from nmr_fair_dos_ray.pipelines.textops import SnippetStage
+
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    hits = [d for d, _ in s.search(BM25_QUERY, k=10, algorithm="bmw")]
+    terms = sorted(set(BM25_QUERY.split()))
+    docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    hitset = pa.array(sorted(int(d) for d in hits), pa.int64())
+
+    def keep_hits(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=hitset))
+
+    out = (
+        docs.map_batches(keep_hits, batch_format="pyarrow")
+        .map_batches(
+            SnippetStage,
+            fn_constructor_kwargs={"query_terms": terms, "window": SNIPPET_WINDOW},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 QS_QUERY = 'data +query -small "slow query" val*'
