@@ -186,6 +186,13 @@ class ShardActor:
         the terms) on first use."""
         return self.reader.expand_fuzzy(term, max_edits)
 
+    def positions(self, term: str):
+        """Decoded (tombstone-masked) positional postings of an owned term —
+        the per-term fetch behind distributed phrase matching. Payload is
+        the term's positional lists only (the phrase cost model), not the
+        shard."""
+        return self.reader.positions(term)
+
 
 class ShardedSearcher:
     """Scatter-gather top-k over a :class:`ShardActor` pool."""
@@ -299,14 +306,21 @@ class ShardedSearcher:
             gathered.update(ray.get(fut))
         return self._merge(terms, gathered, allowed, k)
 
+    def _docs_of(self, term: str) -> np.ndarray:
+        """Posting doc_ids of one term from its owning actor (masked)."""
+        return ray.get(self.actors[self._route(term)].exact_docs.remote(term))
+
     def _score_list(
-        self, terms: list[str], k: int, allowed: np.ndarray | None = None
+        self, terms: list[str], k: int, allowed: np.ndarray | None = None,
+        forbidden: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """Scatter-gather scoring of a pre-expanded SORTED term list (no
         pruning round — expansion lists are typically short/rare terms)."""
         if not terms:
             if allowed is None:
                 return []
+            if forbidden is not None and forbidden.size:
+                allowed = np.setdiff1d(allowed, forbidden)
             return [(int(d), 0.0) for d in np.sort(allowed)[:k]]
         by_actor: dict[int, list[str]] = defaultdict(list)
         for t in terms:
@@ -318,7 +332,95 @@ class ShardedSearcher:
         }
         for slot, fut in futures.items():
             gathered.update(ray.get(fut))
-        return self._merge(terms, gathered, allowed, k)
+        return self._merge(terms, gathered, allowed, k, forbidden)
+
+    def _phrase_match(self, phrase: str) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed phrase resolution: fetch each analyzed term's
+        positional postings from its owning actor (one RPC per unique term,
+        payload = that term's lists only), intersect locally with the same
+        pure array math as the local engine (`phrase_intersect`)."""
+        from nmr_fair_dos_ray.search.engine import phrase_intersect
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        terms = self.tokenizer.tokenize(phrase)
+        if not terms:
+            return empty
+        uniq = sorted(set(terms))
+        futs = {t: self.actors[self._route(t)].positions.remote(t) for t in uniq}
+        plists = {}
+        for t, fut in futs.items():
+            p = ray.get(fut)
+            if p is None:
+                return empty
+            plists[t] = p
+        return phrase_intersect(terms, plists)
+
+    def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
+        """Distributed exact-phrase top-k — bit-equal to the local
+        :meth:`Searcher.search_phrase` (same intersection math over the same
+        masked positional postings)."""
+        docs_m, counts = self._phrase_match(phrase)
+        order = np.lexsort((docs_m, -counts))[:k]
+        return [(int(docs_m[i]), int(counts[i])) for i in order]
+
+    def search_query(
+        self, query: str, k: int = 10, max_expansions: int | None = None,
+        max_edits: int = 1,
+    ) -> list[tuple[int, float]]:
+        """Distributed query-string search — the same grammar and rewrite
+        rules as :meth:`Searcher.search_query` (shared `parse_query_string`),
+        resolved with the pool's primitives: owned-term postings for
+        constraints, per-shard dictionary expansion, positional RPCs for
+        phrases, scatter-gather scoring in sorted term order. Bit-equal to
+        the local engine."""
+        from nmr_fair_dos_ray.search.engine import parse_query_string
+
+        score_set: set[str] = set()
+        musts: list[np.ndarray] = []
+        nots: list[np.ndarray] = []
+        exact: list[str] = []
+        for neg, kind, body in parse_query_string(query):
+            if kind == "phrase":
+                docs, _ = self._phrase_match(body)
+                (nots if neg == "-" else musts).append(docs)
+                if neg != "-":
+                    score_set.update(self.tokenizer.tokenize(body))
+            elif kind == "field":
+                if neg == "-":
+                    nots.append(self._docs_of(body))
+                else:
+                    exact.append(body)
+            elif kind == "fuzzy":
+                text, _, edits = body.partition("\x00")
+                e = min(max(int(edits or max_edits), 1), 2)
+                futs = [
+                    a.expand_fuzzy.remote(t, e)
+                    for t in self.tokenizer.tokenize(text)
+                    for a in self.actors
+                ]
+                for lst in ray.get(futs):
+                    score_set.update(lst)
+            elif kind == "prefix":
+                score_set.update(self._expand_prefix_global(body, max_expansions))
+            elif neg == "-":
+                for t in self.tokenizer.tokenize(body):
+                    nots.append(self._docs_of(t))
+            else:
+                toks = self.tokenizer.tokenize(body)
+                score_set.update(toks)
+                if neg == "+":
+                    for t in toks:
+                        musts.append(self._docs_of(t))
+        allowed: np.ndarray | None = None
+        for t in exact:
+            docs = self._docs_of(t)
+            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+        for docs in musts:
+            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            if allowed.size == 0:
+                return []
+        forbidden = np.unique(np.concatenate(nots)) if nots else None
+        return self._score_list(sorted(score_set), k, allowed, forbidden)
 
     def search_prefix(
         self, prefix: str, k: int = 10, max_expansions: int | None = None
@@ -328,14 +430,20 @@ class ShardedSearcher:
         slot's top-N by df is a superset contributor to the global top-N, so
         a router-side re-cap by (df desc, term asc) is exact). Results are
         bit-equal to the local :meth:`Searcher.search_prefix`."""
-        p = prefix.strip().lower()
-        futs = [a.expand_prefix.remote(p, max_expansions) for a in self.actors]
+        return self._score_list(
+            self._expand_prefix_global(prefix.strip().lower(), max_expansions), k
+        )
+
+    def _expand_prefix_global(
+        self, prefix: str, max_expansions: int | None
+    ) -> list[str]:
+        futs = [a.expand_prefix.remote(prefix, max_expansions) for a in self.actors]
         terms = sorted(set().union(*[set(x) for x in ray.get(futs)]))
         if max_expansions is not None and len(terms) > max_expansions:
             meta = self._term_meta(terms)
             top = sorted(terms, key=lambda t: (-meta[t][0], t))[:max_expansions]
             terms = sorted(top)
-        return self._score_list(terms, k)
+        return terms
 
     def search_fuzzy(
         self, query: str, k: int = 10, max_edits: int = 1
@@ -359,7 +467,8 @@ class ShardedSearcher:
         return self._score_list(sorted(expanded), k, allowed)
 
     @staticmethod
-    def _merge(terms, gathered, allowed, k) -> list[tuple[int, float]]:
+    def _merge(terms, gathered, allowed, k,
+               forbidden: np.ndarray | None = None) -> list[tuple[int, float]]:
         parts = [gathered[t] for t in terms if t in gathered and gathered[t][0].size]
         if not parts:
             return []
@@ -369,6 +478,9 @@ class ShardedSearcher:
             acc[np.searchsorted(uniq, docs)] += scores
         if allowed is not None:
             m = np.isin(uniq, allowed)
+            uniq, acc = uniq[m], acc[m]
+        if forbidden is not None and forbidden.size and uniq.size:
+            m = ~np.isin(uniq, forbidden)
             uniq, acc = uniq[m], acc[m]
         if uniq.size == 0:
             return []

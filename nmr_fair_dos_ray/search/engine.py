@@ -531,6 +531,82 @@ class IndexReader:
         return out
 
 
+def phrase_intersect(
+    terms: list[str],
+    plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase adjacency over decoded positional postings →
+    (sorted matching doc_ids, occurrence counts). Pure array math, shared
+    by the local searcher and the sharded router (which gathers each term's
+    positional postings from its owning shard actor first).
+
+    Composite keys ``doc * K + pos`` (K > any position + 2, so ``key+1`` is
+    "next position, same doc" and the arithmetic never overflows int64 even
+    at 10^12 docs); one sorted-set intersection per phrase term, no per-doc
+    loop."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    inter: np.ndarray | None = None
+    for t in terms:
+        inter = (
+            plists[t][0] if inter is None
+            else np.intersect1d(inter, plists[t][0])
+        )
+        if inter.size == 0:
+            return empty
+    K = 2 + max(
+        int(plists[t][2].max()) if plists[t][2].size else 0 for t in set(terms)
+    )
+
+    def _keys(t: str) -> np.ndarray:
+        docs, offs, flat = plists[t]
+        idx = np.searchsorted(docs, inter)
+        lens = offs[idx + 1] - offs[idx]
+        total = int(lens.sum())
+        seg_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        flat_idx = (
+            np.repeat(offs[idx], lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(seg_starts, lens)
+        )
+        return np.repeat(inter, lens) * K + flat[flat_idx]
+
+    ends = _keys(terms[0])
+    for t in terms[1:]:
+        ends = np.intersect1d(ends + 1, _keys(t))
+        if ends.size == 0:
+            return empty
+    return np.unique(ends // K, return_counts=True)
+
+
+def parse_query_string(query: str) -> list[tuple[str, str, str]]:
+    """Tokenize the query-string grammar → ``[(sign, kind, body)]`` where
+    sign ∈ {'', '+', '-'} and kind ∈ {'phrase', 'field', 'fuzzy', 'prefix',
+    'terms'} (fuzzy body is ``text\\x00edits``). Shared by the local and the
+    sharded query-string searchers so both resolve identical atom lists."""
+    import re
+
+    from nmr_fair_dos_ray.tokenizer import EXACT_FIELD_PREFIXES
+
+    out: list[tuple[str, str, str]] = []
+    for sign, body in re.findall(r'([+-]?)("[^"]*"|\S+)', query):
+        if body.startswith('"'):
+            out.append((sign, "phrase", body.strip('"')))
+            continue
+        if body.startswith(EXACT_FIELD_PREFIXES):
+            out.append((sign, "field", body))
+            continue
+        if sign != "-":
+            m = re.fullmatch(r"(.+?)~(\d?)", body)
+            if m:
+                out.append((sign, "fuzzy", m.group(1) + "\x00" + (m.group(2) or "")))
+                continue
+            if body.endswith("*") and len(body) > 1:
+                out.append((sign, "prefix", body[:-1].lower()))
+                continue
+        out.append((sign, "terms", body))
+    return out
+
+
 def _deletion_variants(term: str, max_edits: int) -> set[str]:
     """The term plus every string reachable by deleting ≤ max_edits chars."""
     out = {term}
@@ -779,48 +855,38 @@ class Searcher:
         shape the candidate set (required/phrase/field intersect, negations
         subtract); constraint-only queries return doc_id-ordered matches
         with score 0.0 (the exact-verification convention)."""
-        import re
-
         r = self.r
         score_set: set[str] = set()
         musts: list[np.ndarray] = []
         nots: list[np.ndarray] = []
         exact: list[str] = []
-        from nmr_fair_dos_ray.tokenizer import EXACT_FIELD_PREFIXES
-
-        for neg, body in re.findall(r'([+-]?)("[^"]*"|\S+)', query):
-            if body.startswith('"'):
-                docs, _ = self._phrase_match(body.strip('"'))
+        for neg, kind, body in parse_query_string(query):
+            if kind == "phrase":
+                docs, _ = self._phrase_match(body)
                 (nots if neg == "-" else musts).append(docs)
                 if neg != "-":  # phrase terms also contribute to the score
-                    score_set.update(r.tokenizer.tokenize(body.strip('"')))
-                continue
-            if body.startswith(EXACT_FIELD_PREFIXES):
+                    score_set.update(r.tokenizer.tokenize(body))
+            elif kind == "field":
                 if neg == "-":
                     nots.append(r.postings(body)[0])
                 else:
                     exact.append(body)
-                continue
-            if neg == "-":
+            elif kind == "fuzzy":
+                text, _, edits = body.partition("\x00")
+                e = int(edits or max_edits)
+                for t in r.tokenizer.tokenize(text):
+                    score_set.update(r.expand_fuzzy(t, min(max(e, 1), 2)))
+            elif kind == "prefix":
+                score_set.update(r.expand_prefix(body, max_expansions))
+            elif neg == "-":
                 for t in r.tokenizer.tokenize(body):
                     nots.append(r.postings(t)[0])
-                continue
-            m = re.fullmatch(r"(.+?)~(\d?)", body)
-            if m:
-                e = int(m.group(2) or max_edits)
-                for t in r.tokenizer.tokenize(m.group(1)):
-                    score_set.update(r.expand_fuzzy(t, min(max(e, 1), 2)))
-                continue
-            if body.endswith("*") and len(body) > 1:
-                score_set.update(
-                    r.expand_prefix(body[:-1].lower(), max_expansions)
-                )
-                continue
-            toks = r.tokenizer.tokenize(body)
-            score_set.update(toks)
-            if neg == "+":  # required AND scored
-                for t in toks:
-                    musts.append(r.postings(t)[0])
+            else:
+                toks = r.tokenizer.tokenize(body)
+                score_set.update(toks)
+                if neg == "+":  # required AND scored
+                    for t in toks:
+                        musts.append(r.postings(t)[0])
 
         allowed = self._exact_candidates(exact)
         for docs in musts:
@@ -943,46 +1009,13 @@ class Searcher:
         terms = r.tokenizer.tokenize(phrase)
         if not terms:
             return empty
-        plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        inter: np.ndarray | None = None
-        for t in terms:
-            if t not in plists:
-                p = r.positions(t)
-                if p is None:
-                    return empty  # absent term (or field term) ⇒ no match
-                plists[t] = p
-            inter = (
-                plists[t][0] if inter is None
-                else np.intersect1d(inter, plists[t][0])
-            )
-            if inter.size == 0:
-                return empty
-
-        # composite keys: doc * K + pos. K is per-query (max position + 2),
-        # so key arithmetic never overflows int64 even at 10^12 docs.
-        K = 2 + max(
-            int(plists[t][2].max()) if plists[t][2].size else 0 for t in set(terms)
-        )
-
-        def _keys(t: str) -> np.ndarray:
-            docs, offs, flat = plists[t]
-            idx = np.searchsorted(docs, inter)
-            lens = offs[idx + 1] - offs[idx]
-            total = int(lens.sum())
-            seg_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            flat_idx = (
-                np.repeat(offs[idx], lens)
-                + np.arange(total, dtype=np.int64)
-                - np.repeat(seg_starts, lens)
-            )
-            return np.repeat(inter, lens) * K + flat[flat_idx]
-
-        ends = _keys(terms[0])
-        for t in terms[1:]:
-            ends = np.intersect1d(ends + 1, _keys(t))
-            if ends.size == 0:
-                return empty
-        return np.unique(ends // K, return_counts=True)
+        plists = {}
+        for t in set(terms):
+            p = r.positions(t)
+            if p is None:
+                return empty  # absent term (or field term) ⇒ no match
+            plists[t] = p
+        return phrase_intersect(terms, plists)
 
     # ---------------------------------------------------------------- facets
     def facet_counts(self, query: str, facet_field: str) -> list[tuple[str, int]]:

@@ -98,6 +98,29 @@ def test_constraint_only_and_empty(s):
     assert s.search_query("-def", k=5) == []  # pure negation: no candidates
 
 
+def test_sharded_phrase_and_query_string_match_local(s):
+    from nmr_fair_dos_ray.search.distributed import ShardedSearcher
+
+    pool = ShardedSearcher(DIR, pool_size=2)
+    try:
+        for ph in ("self return", "def config", "zz nope"):
+            assert pool.search_phrase(ph, k=10) == s.search_phrase(ph, k=10), ph
+        langs = s.r.terms_with_prefix("lang:")
+        for q in (
+            "def return self",
+            "self return -self",
+            "def +config",
+            'def -"self return"',
+            '"self return" conf*',
+            "retrn~ merge",
+            f"def -{langs[0]}",
+            f"{langs[0]}",
+        ):
+            assert pool.search_query(q, k=10) == s.search_query(q, k=10), q
+    finally:
+        pool.shutdown()
+
+
 def test_combined_grammar(s):
     q = 'def +return -merge "self return" conf*'
     got = s.search_query(q, k=10)
