@@ -293,6 +293,95 @@ def run_append_bench() -> dict:
     }
 
 
+def run_lifecycle_bench() -> dict:
+    """Document-lifecycle benchmark: delete 10% of docs from the sf-bench
+    index (tombstones), measure tombstoned-search overhead, then compact
+    (physical expunge) and assert search results stayed bit-identical
+    through both transitions — numbers recorded in BASELINE.md."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nmr_fair_dos_ray.fixtures import fixture_dir
+    from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+    from nmr_fair_dos_ray.pipelines.lifecycle import compact_index, delete_docs
+    from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+
+    fx = fixture_dir("sf-bench")
+    base = "/tmp/nmr_fair_dos_ray/bench_lifecycle"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = IndexConfig(
+        token_cols=("path", "lang"), field_cols=("repo", "path", "lang"),
+        stored_cols=("repo", "path", "commit", "lang"), num_shards=64,
+    )
+    man = build_index(fx["corpus"], f"{base}/idx", cfg)
+    n_docs = int(man["stats"]["n_docs"])
+    # 1000 queries for the qps pools; full-ranking equivalence (k=n_docs
+    # TAAT, the expensive oracle) over a 200-query slice
+    queries = [r["query"] for r in pq.read_table(fx["queries"]).to_pylist()][:1000]
+    eq_queries = queries[:200]
+
+    def pool_qps(s: Searcher) -> float:
+        for q in queries[:50]:
+            s.search(q, k=10)  # warm decode caches
+        t0 = time.time()
+        for q in queries:
+            s.search(q, k=10)
+        return len(queries) / (time.time() - t0)
+
+    s0 = Searcher(IndexReader(f"{base}/idx"))
+    qps_base = pool_qps(s0)
+
+    rng = np.random.RandomState(41)
+    victims = rng.choice(n_docs, size=n_docs // 10, replace=False)
+    t0 = time.time()
+    delete_docs(f"{base}/idx", victims)
+    t_delete = time.time() - t0
+    dead = set(int(v) for v in victims)
+    expect_del = {
+        q: [(d, sc) for d, sc in s0.search(q, k=10_000, algorithm="taat")
+            if d not in dead][:10]
+        for q in eq_queries
+    }
+    s1 = Searcher(IndexReader(f"{base}/idx"))
+    qps_tomb = pool_qps(s1)
+    mism_tomb = sum(s1.search(q, k=10) != expect_del[q] for q in eq_queries)
+
+    t0 = time.time()
+    summary = compact_index(f"{base}/idx")
+    t_compact = time.time() - t0
+    s2 = Searcher(IndexReader(f"{base}/idx"))
+    qps_comp = pool_qps(s2)
+    mism_comp = sum(s2.search(q, k=10) != expect_del[q] for q in eq_queries)
+    ray.shutdown()
+    return {
+        "metric": "lifecycle_delete_compact",
+        "n_docs": n_docs,
+        "n_deleted": len(dead),
+        "delete_sec": round(t_delete, 3),
+        "compact_sec": round(t_compact, 3),
+        "postings_removed": summary["postings_removed"],
+        "postings_removed_per_sec": round(
+            summary["postings_removed"] / t_compact, 0),
+        "qps_baseline": round(qps_base, 1),
+        "qps_tombstoned": round(qps_tomb, 1),
+        "qps_compacted": round(qps_comp, 1),
+        "search_mismatches_tombstoned": int(mism_tomb),
+        "search_mismatches_compacted": int(mism_comp),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling() -> dict:
     """Same job at N and 4N CPUs in fresh processes, two pairs: 2→8 and
     8→32. The sandbox VM's aggregate memory bandwidth saturates around 8
@@ -385,5 +474,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--append" in sys.argv:
         print(json.dumps(run_append_bench()))
+    elif "--lifecycle" in sys.argv:
+        print(json.dumps(run_lifecycle_bench()))
     else:
         print(json.dumps(run_bench()))

@@ -92,6 +92,34 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    from nmr_fair_dos_ray.pipelines.lifecycle import (
+        delete_by_term, delete_docs, read_tombstones,
+    )
+
+    if args.term:
+        n = delete_by_term(args.index, args.term)
+    else:
+        ids = [int(x) for x in args.doc_ids.split(",") if x]
+        delete_docs(args.index, ids)
+        n = len(ids)
+    print(json.dumps(
+        {"index": args.index, "deleted": n,
+         "tombstones": int(read_tombstones(args.index).size)}
+    ))
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    from nmr_fair_dos_ray.pipelines.lifecycle import compact_index
+
+    t0 = time.time()
+    out = compact_index(args.index)
+    out["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     from nmr_fair_dos_ray.search.engine import IndexReader
 
@@ -135,6 +163,26 @@ def main(argv: list[str] | None = None) -> int:
     )
     s.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
     s.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser(
+        "delete",
+        help="tombstone documents (by id list or by one index term, e.g. "
+             "'lang:go'); search excludes them immediately, stats stay "
+             "frozen until compact/rebuild",
+    )
+    d.add_argument("--index", required=True)
+    g = d.add_mutually_exclusive_group(required=True)
+    g.add_argument("--doc-ids", help="comma-separated doc ids")
+    g.add_argument("--term", help="delete every doc whose postings contain this term")
+    d.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser(
+        "compact",
+        help="physically expunge tombstoned postings (per-shard-file "
+             "rewrite; search results provably unchanged)",
+    )
+    c.add_argument("--index", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     st = sub.add_parser("stats", help="print index stats")
     st.add_argument("--index", required=True)

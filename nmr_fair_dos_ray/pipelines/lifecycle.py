@@ -343,7 +343,7 @@ def _compact_shard_table(
     return pa.table(dict(zip(t.schema.names, arrays))), n_before, int(keep.sum())
 
 
-def compact_index(index_dir: str, concurrency: int | None = None) -> dict:
+def compact_index(index_dir: str) -> dict:
     """Physically remove tombstoned postings ("expunge deletes", the Lucene
     segment-merge analog): rewrite every shard file minus dead postings
     (blocks re-encoded, champion lists and positional streams filtered),
@@ -382,48 +382,44 @@ def compact_index(index_dir: str, concurrency: int | None = None) -> dict:
         (ids[order], docs_tbl["doclen"].to_numpy(zero_copy_only=False)[order], tomb)
     )
 
-    class CompactTask:
-        def __init__(self, state):
-            self.ids_sorted, self.dls_sorted, self.tomb = ray.get(state)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = []
-            for it in batch.to_pylist():
-                t0 = time.time()
-                path = it["path"]
-                tbl = pq.read_table(path)
-                if it["kind"] == "shard":
-                    new, nb, na = _compact_shard_table(
-                        tbl, self.tomb, self.ids_sorted, self.dls_sorted,
-                        cfg, stats,
-                    )
-                else:  # docs file: drop dead rows (postings already gone)
-                    dead = _member(
-                        tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-                        self.tomb,
-                    )
-                    nb = tbl.num_rows
-                    new = tbl.filter(pa.array(~dead))
-                    na = new.num_rows
-                if na != nb:
-                    tmp = path + f".compact-{os.getpid()}"
-                    pq.write_table(new, tmp)
-                    os.replace(tmp, path)
-                rows.append({"path": path, "kind": it["kind"],
-                             "n_before": int(nb), "n_after": int(na),
-                             "wall_sec": time.time() - t0})
-            return pa.Table.from_pylist(rows)
+    def compact_file(batch: pa.Table) -> pa.Table:
+        # task pool, NOT an actor pool: compaction is a one-shot maintenance
+        # sweep, and warm Ray workers + zero-copy plasma reads of the
+        # broadcast (doclen, tombstone) state beat per-actor spawn cost
+        # (~1 s/actor on the bench VM) for a job this short
+        ids_sorted, dls_sorted, tomb_b = ray.get(state_ref)
+        rows = []
+        for it in batch.to_pylist():
+            t0 = time.time()
+            path = it["path"]
+            tbl = pq.read_table(path)
+            if it["kind"] == "shard":
+                new, nb, na = _compact_shard_table(
+                    tbl, tomb_b, ids_sorted, dls_sorted, cfg, stats,
+                )
+            else:  # docs file: drop dead rows (postings already gone)
+                dead = _member(
+                    tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    tomb_b,
+                )
+                nb = tbl.num_rows
+                new = tbl.filter(pa.array(~dead))
+                na = new.num_rows
+            if na != nb:
+                tmp = path + f".compact-{os.getpid()}"
+                pq.write_table(new, tmp)
+                os.replace(tmp, path)
+            rows.append({"path": path, "kind": it["kind"],
+                         "n_before": int(nb), "n_after": int(na),
+                         "wall_sec": time.time() - t0})
+        return pa.Table.from_pylist(rows)
 
     items = [{"path": p, "kind": "shard"} for p in shard_files] + [
         {"path": p, "kind": "docs"} for p in docs_files
     ]
-    conc = concurrency or min(16, max(1, len(items)))
     res = (
         rd.from_items(items)
-        .map_batches(
-            CompactTask, batch_size=1, batch_format="pyarrow",
-            concurrency=(1, conc), fn_constructor_args=(state_ref,),
-        )
+        .map_batches(compact_file, batch_size=1, batch_format="pyarrow")
         .to_pandas()
     )
     sh = res[res["kind"] == "shard"]
