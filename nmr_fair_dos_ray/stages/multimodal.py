@@ -1,11 +1,14 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 Image/audio decode libraries are not available in this container, so the
-*decode kernels* are deterministic fakes behind a clearly marked seam
-(`_decode_image_real` raises NotImplementedError), while everything Ray-side
-is real and tested: schema (binary column + metadata), actor-pool stage
-shape, small-batch sizing for wide binary rows, and Arrow-native outputs
-(fixed-shape tensors as list columns).
+decode kernels are pure numpy/stdlib: PPM, BMP, PNG (zlib inflate +
+unfilter), baseline JPEG (stages/jpeg.py: huffman + dequant + IDCT), WAV
+PCM16 and YUV4MPEG2 are REAL, round-trip-tested decoders; only compressed
+VIDEO codecs remain a clearly marked `NotImplementedError` seam with a
+deterministic fake behind it. Everything Ray-side is real and tested:
+schema (binary column + metadata), actor-pool stage shape, small-batch
+sizing for wide binary rows, and Arrow-native outputs (fixed-shape tensors
+as list columns).
 
 At 100 TB the rules these stages encode: batches of wide binary rows must be
 small (``batch_size`` 16-64) so batch × concurrency fits worker heaps;
@@ -102,7 +105,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL pure-stdlib PNG decoder (zlib inflate + scanline unfiltering) for
     8-bit non-interlaced gray/RGB/gray-alpha/RGBA — shrinks the compressed-
-    codec stub seam to JPEG/compressed-video only. -> (h, w, c) uint8.
+    codec stub seam to compressed-video only. -> (h, w, c) uint8.
 
     Filters 0-2 (None/Sub/Up) unfilter vectorized per row; 3-4
     (Average/Paeth) are sequential in x by definition and loop per pixel —
@@ -301,17 +304,22 @@ class VideoFrameSampleStage:
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """Dispatch to the REAL pure-numpy decoders for uncompressed formats;
-    compressed codecs (PNG/JPEG) stay an honestly-stubbed seam — their
-    libraries are not in this container."""
+    and the pure-Python PNG/baseline-JPEG codecs; only compressed video
+    remains an honestly-stubbed seam (no codec libraries in this
+    container)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
     if payload.startswith(b"\x89PNG"):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from nmr_fair_dos_ray.stages.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG decode unavailable in this environment (no codec libs); "
-        "PPM/BMP/PNG decode is real, the deterministic fake exercises the rest"
+        "unrecognized image container; PPM/BMP/PNG/baseline-JPEG decode is "
+        "real (pure numpy/stdlib), the deterministic fake exercises the rest"
     )
 
 
@@ -330,7 +338,7 @@ class ImageDecodeStage:
     """
 
     #: formats with a REAL pure-numpy/stdlib decoder in this container
-    REAL_FORMATS = {"ppm", "bmp", "png"}
+    REAL_FORMATS = {"ppm", "bmp", "png", "jpeg", "jpg"}
 
     def __init__(self, use_real_codec: bool = False):
         self.use_real_codec = use_real_codec  # once-per-actor codec init seam
@@ -350,7 +358,7 @@ class ImageDecodeStage:
                 if fmt in self.REAL_FORMATS:
                     img = _decode_image_real(payload)
                 elif self.use_real_codec:
-                    img = _decode_image_real(payload)  # raises for JPEG
+                    img = _decode_image_real(payload)  # raises on unknown container
                 else:
                     img = _decode_image_fake(payload, w, h, c)
                 pixels.append(img)
@@ -440,16 +448,31 @@ def attach_binary_payload(docs: Dataset, text_col: str = "text",
     metadata from a text column (stands in for real image bytes)."""
 
     def make(batch: pa.Table) -> pa.Table:
-        payloads = [
-            hashlib.sha256((t or "").encode()).digest() * 4
-            for t in batch[text_col].to_pylist()
-        ]
+        from nmr_fair_dos_ray.stages.jpeg import encode_jpeg
+
+        payloads, formats = [], []
+        for t in batch[text_col].to_pylist():
+            digest = hashlib.sha256((t or "").encode()).digest()
+            seed = int.from_bytes(digest[:4], "big")
+            kind = seed % 3
+            if kind == 0:  # opaque payload → deterministic fake decode
+                payloads.append(digest * 4)
+                formats.append("fake")
+            else:  # REAL compressed payloads → real PNG / baseline-JPEG path
+                rng = np.random.RandomState(seed)
+                img = rng.randint(0, 256, (height, width, channels), np.uint8)
+                if kind == 1:
+                    payloads.append(encode_png(img))
+                    formats.append("png")
+                else:
+                    payloads.append(encode_jpeg(img))
+                    formats.append("jpeg")
         n = batch.num_rows
         return batch.append_column("payload", pa.array(payloads, pa.binary())) \
             .append_column("width", pa.array([width] * n, pa.int32())) \
             .append_column("height", pa.array([height] * n, pa.int32())) \
             .append_column("channels", pa.array([channels] * n, pa.int32())) \
-            .append_column("format", pa.array(["fake"] * n, pa.string()))
+            .append_column("format", pa.array(formats, pa.string()))
 
     return docs.map_batches(make, batch_format="pyarrow")
 

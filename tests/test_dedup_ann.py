@@ -354,29 +354,33 @@ def test_real_ppm_bmp_wav_decoders():
     assert rate == 44100
     np.testing.assert_array_equal(got, samples)
 
-    # stage-level: real formats (incl. PNG now) decode, JPEG dead-letters
-    # under use_real_codec, fake-decodes otherwise
+    # stage-level: every compressed image format (PNG and now baseline JPEG
+    # too) decodes for REAL; a corrupt payload dead-letters
+    from nmr_fair_dos_ray.stages.jpeg import encode_jpeg
     from nmr_fair_dos_ray.stages.multimodal import encode_png
 
     png_img = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    jpg_img = rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
     t = pa.table(
         {
             "payload": pa.array(
-                [ppm, encode_png(png_img), b"\xff\xd8 jpeg"], pa.binary()
+                [ppm, encode_png(png_img), encode_jpeg(jpg_img),
+                 b"\xff\xd8 corrupt"], pa.binary()
             ),
-            "width": pa.array([7, 4, 4], pa.int32()),
-            "height": pa.array([5, 4, 4], pa.int32()),
-            "channels": pa.array([3, 3, 3], pa.int32()),
-            "format": pa.array(["ppm", "png", "jpeg"]),
+            "width": pa.array([7, 4, 4, 4], pa.int32()),
+            "height": pa.array([5, 4, 4, 4], pa.int32()),
+            "channels": pa.array([3, 3, 3, 3], pa.int32()),
+            "format": pa.array(["ppm", "png", "jpeg", "jpeg"]),
         }
     )
     out = ImageDecodeStage(use_real_codec=True)(t)
-    assert out["decoded"].to_pylist() == [True, True, False]
+    assert out["decoded"].to_pylist() == [True, True, True, False]
     assert out["pixels"][0].as_py() == img.ravel().tolist()
     assert out["pixels"][1].as_py() == png_img.ravel().tolist()
+    assert len(out["pixels"][2]) == jpg_img.size  # lossy: shape, not bytes
     assert out["pixels"].type == pa.list_(pa.uint8())
     out2 = ImageDecodeStage(use_real_codec=False)(t)
-    assert out2["decoded"].to_pylist() == [True, True, True]  # jpeg → fake
+    assert out2["decoded"].to_pylist() == [True, True, True, False]
 
 
 def test_png_decoder_all_filters():
