@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fuzzy_search": dp.q_fuzzy_search,
         "q_query_string": dp.q_query_string,
         "q_snippets": dp.q_snippets,
+        "q_search_page2": dp.q_search_page2,
         "q_search_facets": dp.q_search_facets,
         # text analysis / training-data ops
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
@@ -384,6 +385,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 4) AS score
             FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+        """,
+        # cursor pagination: page 2 of the BM25 ranking — deterministic
+        # float64 scores make search_after ≡ OFFSET 10
+        "q_search_page2": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('data', 'pipeline', 'query')
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (SELECT * FROM scores
+                  ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10)
         """,
         # snippets: best 8-token window per BM25-top-10 doc — window starts
         # at a matched token, count desc then start asc; snippet = analyzed

@@ -139,6 +139,25 @@ def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_search_page2(sf_dir: str) -> pd.DataFrame:
+    """Cursor pagination (ES ``search_after`` analog): fetch page 1, use its
+    last hit (score, doc_id) as the cursor, return page 2 — equivalent to
+    the SQL ranking with OFFSET 10 LIMIT 10 because scores are deterministic
+    float64 across the engine and the oracle."""
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    page1 = s.search(BM25_QUERY, k=10, algorithm="bmw")
+    cursor = page1[-1] if page1 else None
+    hits = s.search_after(BM25_QUERY, k=10,
+                          after=(cursor[1], cursor[0]) if cursor else None)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
 PREFIX_QUERY = "s"       # expands to slow/small/sort/scan/spark/stream
 FUZZY_QUERY = "sow joim"  # lev-1 → {slow, row} ∪ {join}
 

@@ -830,6 +830,34 @@ class Searcher:
             allowed = docs if allowed is None else np.intersect1d(allowed, docs)
         return allowed
 
+    # ---------------------------------------------------------- pagination
+    def search_after(
+        self, query: str, k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Cursor pagination (the ES ``search_after`` analog): return the
+        next ``k`` hits strictly AFTER ``after = (score, doc_id)`` in the
+        global (score desc, doc_id asc) order — stateless, so deep pages
+        never recompute-and-discard like from/size offset paging, and
+        concurrent index appends can't shift earlier pages.
+
+        Scores are deterministic float64 (bit-equal across TAAT/BMW and the
+        SQL oracle), so the cursor — the last hit of the previous page —
+        addresses a unique position. Runs the exact TAAT path with a
+        vectorized cursor filter; page cost is one full scoring pass
+        (same as ES: search_after still scores all matches, it only skips
+        the discarded-prefix materialization)."""
+        terms, exact = self.r.tokenizer.tokenize_query(query)
+        allowed = self._exact_candidates(exact)
+        if not terms:
+            if allowed is None:
+                return []
+            docs = np.sort(allowed)
+            if after is not None:
+                docs = docs[docs > after[1]]
+            return [(int(d), 0.0) for d in docs[:k]]
+        return self._taat(terms, k, allowed, after=after)
+
     # --------------------------------------------------------- query string
     def search_query(
         self, query: str, k: int = 10, max_expansions: int | None = None,
@@ -1056,6 +1084,7 @@ class Searcher:
     def _taat(
         self, terms: list[str], k: int, allowed: np.ndarray | None,
         forbidden: np.ndarray | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Term-at-a-time, fully vectorized.
 
@@ -1085,6 +1114,11 @@ class Searcher:
             uniq, acc = uniq[m], acc[m]
         if forbidden is not None and forbidden.size and uniq.size:
             m = ~np.isin(uniq, forbidden)
+            uniq, acc = uniq[m], acc[m]
+        if after is not None and uniq.size:
+            a_s, a_d = float(after[0]), int(after[1])
+            # strictly after the cursor in (score desc, doc asc) order
+            m = (acc < a_s) | ((acc == a_s) & (uniq > a_d))
             uniq, acc = uniq[m], acc[m]
         if uniq.size == 0:
             return []

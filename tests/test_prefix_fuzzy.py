@@ -143,3 +143,24 @@ def test_prefix_fuzzy_honor_tombstones(idx, tmp_path):
     got = s1.search_prefix("ge", k=5)
     assert base[0][0] not in [d for d, _ in got]
     assert got[: len(base) - 1] == base[1:]  # frozen stats: pure shift
+
+
+def test_search_after_pagination(idx):
+    """Cursor paging walks the full ranking without gaps or repeats."""
+    s = Searcher(idx)
+    q = "def return user"
+    full = s.search(q, k=10_000, algorithm="taat")
+    pages, cursor = [], None
+    while True:
+        page = s.search_after(q, k=7, after=cursor)
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert pages == full
+    # exact-only query pages by doc_id
+    lv = idx.terms_with_prefix("lang:")[0]
+    all_docs = [d for d, _ in s.search(lv, k=10_000)]
+    p1 = s.search_after(lv, k=5)
+    p2 = s.search_after(lv, k=5, after=(0.0, p1[-1][0]))
+    assert [d for d, _ in p1 + p2] == all_docs[:10]
