@@ -1,11 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — 48 callables, one per implemented operator/pipeline
+sf0.001. ``queries()`` — 49 callables, one per implemented operator/pipeline
 from SURVEY.md §2 (incl. the M1-M11 extraction family, the round-3 document
 lifecycle and the prefix/fuzzy/query-string/snippet search surface) plus the
 training-data operators; each takes ``sf_dir`` and returns a DataFrame.
-``oracle_sql()`` — the DuckDB-equivalent SQL for the 38 SQL-expressible
+``oracle_sql()`` — the DuckDB-equivalent SQL for the 39 SQL-expressible
 queries (same column names, same rounding); non-SQL-expressible pipelines
 (LSH bucketing, SimHash banding, heuristic language-ID, IVF recall,
 binary multimodal decode) are intentionally omitted there → rows-only check.
