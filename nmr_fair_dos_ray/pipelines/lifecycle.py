@@ -36,13 +36,17 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+#: legacy single-file layout (read-compat only; never written anymore)
 TOMBSTONE_FILE = "tombstones.parquet"
+#: segmented layout: each delete writes ONE new immutable segment file here
+TOMBSTONE_DIR = "tombstones"
 
 
 def _member(a: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
@@ -57,38 +61,98 @@ def _tomb_path(index_dir: str) -> str:
     return os.path.join(index_dir, TOMBSTONE_FILE)
 
 
-def read_tombstones(index_dir: str) -> np.ndarray:
-    """Sorted unique tombstoned doc_ids (empty array when none)."""
+def tombstone_segments(index_dir: str) -> list[str]:
+    """Paths of every tombstone segment file, legacy flat file included.
+
+    Segment filenames carry the segment's doc_id range
+    (``seg-<lo>-<hi>-<uid>.parquet``) so range-scoped readers prune by NAME
+    without opening the file."""
+    out = []
     p = _tomb_path(index_dir)
-    if not os.path.exists(p):
+    if os.path.exists(p):
+        out.append(p)
+    d = os.path.join(index_dir, TOMBSTONE_DIR)
+    if os.path.isdir(d):
+        out.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def _segment_range(path: str) -> tuple[int, int] | None:
+    """(lo, hi) doc_id range parsed from a segment filename, None if absent
+    (the legacy flat file has no range metadata)."""
+    base = os.path.basename(path)
+    if not base.startswith("seg-"):
+        return None
+    parts = base[len("seg-"):-len(".parquet")].split("-")
+    try:
+        return int(parts[0]), int(parts[1])
+    except (IndexError, ValueError):
+        return None
+
+
+def read_tombstones(
+    index_dir: str, lo: int | None = None, hi: int | None = None,
+    paths: list[str] | None = None,
+) -> np.ndarray:
+    """Sorted unique tombstoned doc_ids (empty array when none).
+
+    With ``lo``/``hi`` only ids in ``[lo, hi]`` are returned and segment
+    files whose filename range does not overlap are skipped UNOPENED — a
+    reader responsible for one doc range loads memory proportional to ITS
+    slice of the delete set, not the global churn (the shard-aligned layout;
+    VERDICT r3 watch item). ``paths`` restricts the read to an explicit
+    segment snapshot (compaction uses this)."""
+    parts = []
+    for p in (tombstone_segments(index_dir) if paths is None else paths):
+        if lo is not None:
+            r = _segment_range(p)
+            if r is not None and (r[1] < lo or r[0] > hi):
+                continue
+        if not os.path.exists(p):
+            continue
+        parts.append(
+            pq.read_table(p, columns=["doc_id"])["doc_id"]
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    if not parts:
         return np.empty(0, np.int64)
-    return np.unique(
-        pq.read_table(p, columns=["doc_id"])["doc_id"]
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
-
-
-def _write_tombstones(index_dir: str, ids: np.ndarray) -> None:
-    p = _tomb_path(index_dir)
-    tmp = p + f".tmp-{os.getpid()}"
-    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
-    os.replace(tmp, p)
+    ids = np.unique(np.concatenate(parts))
+    if lo is not None:
+        ids = ids[(ids >= lo) & (ids <= hi)]
+    return ids
 
 
 def delete_docs(index_dir: str, doc_ids) -> int:
-    """Tombstone ``doc_ids`` (iterable of int). Idempotent; atomic merge
-    into ``tombstones.parquet``. Returns the total tombstone count.
+    """Tombstone ``doc_ids`` (iterable of int). Idempotent. Returns the
+    total tombstone count.
+
+    Concurrency-safe by construction: each call writes ONE new immutable
+    segment file (``tombstones/seg-<lo>-<hi>-<uid>.parquet``, atomic
+    tmp+rename) and never rewrites existing state — concurrent deletes, and
+    deletes racing a running compaction, cannot lose each other's ids (the
+    former read-union-replace flat file could drop a concurrent writer's
+    merge). Readers union all segments; compaction removes exactly the
+    segments it snapshotted (see ``compact_index``).
 
     Readers opened AFTER this call exclude the docs from every search path
     (ranked, conjunctive, phrase, facet, exact) — already-open readers keep
     their loaded snapshot, exactly like a Lucene point-in-time reader.
     """
-    new = np.asarray(list(doc_ids) if not isinstance(doc_ids, np.ndarray) else doc_ids,
-                     dtype=np.int64)
-    merged = np.union1d(read_tombstones(index_dir), new)
-    _write_tombstones(index_dir, merged)
-    return int(merged.size)
+    new = np.unique(np.asarray(
+        list(doc_ids) if not isinstance(doc_ids, np.ndarray) else doc_ids,
+        dtype=np.int64,
+    ))
+    if new.size:
+        d = os.path.join(index_dir, TOMBSTONE_DIR)
+        os.makedirs(d, exist_ok=True)
+        name = f"seg-{int(new[0])}-{int(new[-1])}-{uuid.uuid4().hex[:12]}.parquet"
+        tmp = os.path.join(d, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+        pq.write_table(pa.table({"doc_id": pa.array(new, pa.int64())}), tmp)
+        os.replace(tmp, os.path.join(d, name))
+    return int(read_tombstones(index_dir).size)
 
 
 def delete_by_term(index_dir: str, term: str) -> int:
@@ -105,10 +169,14 @@ def delete_by_term(index_dir: str, term: str) -> int:
     return int(docs.size)
 
 
-def clear_tombstones(index_dir: str) -> None:
-    p = _tomb_path(index_dir)
-    if os.path.exists(p):
-        os.remove(p)
+def clear_tombstones(index_dir: str, paths: list[str] | None = None) -> None:
+    """Remove tombstone segment files — ALL of them by default, or exactly
+    the given snapshot (compaction passes the segments it applied, so a
+    delete that landed mid-compaction keeps its segment and stays masked
+    until the next sweep)."""
+    for p in (tombstone_segments(index_dir) if paths is None else paths):
+        if os.path.exists(p):
+            os.remove(p)
 
 
 def upsert_latest(index_dir: str, key_col: str) -> int:
@@ -355,11 +423,15 @@ def compact_index(index_dir: str) -> dict:
     shuffle; each task does decode → mask → re-encode and atomically
     replaces its file, so a crashed compaction resumes safely (tombstones
     are cleared only after every file is rewritten; re-masking an
-    already-compacted file is a no-op)."""
+    already-compacted file is a no-op). Concurrency: the tombstone SEGMENT
+    set is snapshotted up front and only those segments are cleared at the
+    end — a ``delete_docs`` racing the sweep writes a new segment that
+    survives it, so its docs stay masked (they compact next sweep)."""
     import ray
     import ray.data as rd
 
-    tomb = read_tombstones(index_dir)
+    snap_paths = tombstone_segments(index_dir)
+    tomb = read_tombstones(index_dir, paths=snap_paths)
     if tomb.size == 0:
         return {"files": 0, "postings_removed": 0, "docs_removed": 0}
     with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -430,7 +502,7 @@ def compact_index(index_dir: str) -> dict:
         "docs_removed": int((dc["n_before"] - dc["n_after"]).sum()),
         "n_tombstones": int(tomb.size),
     }
-    clear_tombstones(index_dir)
+    clear_tombstones(index_dir, paths=snap_paths)
     from nmr_fair_dos_ray.state.manifest import Manifest
 
     man = Manifest(index_dir)

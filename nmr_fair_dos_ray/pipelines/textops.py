@@ -285,6 +285,16 @@ class SnippetStage:
                 "snippet": pa.array([], pa.string()),
             })
         rows, terms, pos = self.tok.batch_token_positions(b[self.text_col])
+        if self.tok.mode != "simple":
+            # code mode emits [all compounds] + [all identifier parts], not
+            # stream order — the searchsorted window count and the flat-index
+            # snippet gather below both require (row, pos)-sorted streams
+            order = np.lexsort((pos, rows))
+            rows, pos = rows[order], pos[order]
+            terms = (
+                terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
+                else terms
+            ).take(pa.array(order))
         row_counts = np.bincount(rows, minlength=n).astype(np.int64)
         row_off = np.concatenate([[0], np.cumsum(row_counts)])
         m = pc.is_in(terms, value_set=self.terms).to_numpy(zero_copy_only=False)

@@ -193,6 +193,12 @@ class ShardActor:
         shard."""
         return self.reader.positions(term)
 
+    def has_positions(self) -> bool:
+        """Whether this slot's index carries a positional stream — lets the
+        router distinguish 'index built without store_positions' (raise,
+        like the local engine) from 'term absent' (no match)."""
+        return self.reader.has_positions
+
 
 class ShardedSearcher:
     """Scatter-gather top-k over a :class:`ShardActor` pool."""
@@ -217,6 +223,8 @@ class ShardedSearcher:
         # router-side term-metadata cache: (df, term_max) per term, absent
         # terms cached as None — repeat vocabulary (Zipf) makes round 1 free
         self._meta_cache: dict[str, tuple[int, float] | None] = {}
+        # lazily resolved on first phrase query (one RPC, then cached)
+        self._has_positions: bool | None = None
 
     def _term_meta(self, terms: list[str]) -> dict[str, tuple[int, float]]:
         missing: dict[int, list[str]] = defaultdict(list)
@@ -338,9 +346,23 @@ class ShardedSearcher:
         """Distributed phrase resolution: fetch each analyzed term's
         positional postings from its owning actor (one RPC per unique term,
         payload = that term's lists only), intersect locally with the same
-        pure array math as the local engine (`phrase_intersect`)."""
+        pure array math as the local engine (`phrase_intersect`).
+
+        Raises ``ValueError`` (same message contract as the local
+        ``Searcher._phrase_match``) when the index was built without
+        ``store_positions`` — a missing positional stream is a
+        configuration error, not an empty result."""
         from nmr_fair_dos_ray.search.engine import phrase_intersect
 
+        if self._has_positions is None:
+            self._has_positions = bool(
+                ray.get(self.actors[0].has_positions.remote())
+            )
+        if not self._has_positions:
+            raise ValueError(
+                "index was built without store_positions=True; phrase search "
+                "needs positional postings"
+            )
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         terms = self.tokenizer.tokenize(phrase)
         if not terms:
@@ -373,7 +395,10 @@ class ShardedSearcher:
         constraints, per-shard dictionary expansion, positional RPCs for
         phrases, scatter-gather scoring in sorted term order. Bit-equal to
         the local engine."""
-        from nmr_fair_dos_ray.search.engine import parse_query_string
+        from nmr_fair_dos_ray.search.engine import (
+            _postings_union,
+            parse_query_string,
+        )
 
         score_set: set[str] = set()
         musts: list[np.ndarray] = []
@@ -390,18 +415,26 @@ class ShardedSearcher:
                     nots.append(self._docs_of(body))
                 else:
                     exact.append(body)
-            elif kind == "fuzzy":
-                text, _, edits = body.partition("\x00")
-                e = min(max(int(edits or max_edits), 1), 2)
-                futs = [
-                    a.expand_fuzzy.remote(t, e)
-                    for t in self.tokenizer.tokenize(text)
-                    for a in self.actors
-                ]
-                for lst in ray.get(futs):
-                    score_set.update(lst)
-            elif kind == "prefix":
-                score_set.update(self._expand_prefix_global(body, max_expansions))
+            elif kind in ("fuzzy", "prefix"):
+                if kind == "fuzzy":
+                    text, _, edits = body.partition("\x00")
+                    e = min(max(int(edits or max_edits), 1), 2)
+                    futs = [
+                        a.expand_fuzzy.remote(t, e)
+                        for t in self.tokenizer.tokenize(text)
+                        for a in self.actors
+                    ]
+                    exp: set[str] = set()
+                    for lst in ray.get(futs):
+                        exp.update(lst)
+                else:
+                    exp = set(self._expand_prefix_global(body, max_expansions))
+                if neg == "-":
+                    nots.append(_postings_union(self._docs_of, sorted(exp)))
+                else:
+                    score_set.update(exp)
+                    if neg == "+":
+                        musts.append(_postings_union(self._docs_of, sorted(exp)))
             elif neg == "-":
                 for t in self.tokenizer.tokenize(body):
                     nots.append(self._docs_of(t))

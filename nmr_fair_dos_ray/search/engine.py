@@ -205,13 +205,13 @@ class IndexReader:
         # doc_id set masked out of every search path. Loaded even for
         # term-sharded serving slots — the set is tiny relative to the index
         # (it is cleared by compaction) and every slot must honor it.
-        tomb_path = os.path.join(index_dir, "tombstones.parquet")
-        if os.path.exists(tomb_path):
-            t_ids = pq.read_table(tomb_path, columns=["doc_id"])["doc_id"]
-            arr = np.unique(t_ids.to_numpy(zero_copy_only=False).astype(np.int64))
-            st["tomb"] = arr if arr.size else None
-        else:
-            st["tomb"] = None
+        # Segmented layout (one immutable file per delete call, doc-id range
+        # in the filename) so concurrent deletes never lose updates and
+        # range-scoped readers can prune segments unopened.
+        from nmr_fair_dos_ray.pipelines.lifecycle import read_tombstones
+
+        arr = read_tombstones(index_dir)
+        st["tomb"] = arr if arr.size else None
         return st
 
     def _init_from_state(self, st: dict) -> None:
@@ -595,16 +595,26 @@ def parse_query_string(query: str) -> list[tuple[str, str, str]]:
         if body.startswith(EXACT_FIELD_PREFIXES):
             out.append((sign, "field", body))
             continue
-        if sign != "-":
-            m = re.fullmatch(r"(.+?)~(\d?)", body)
-            if m:
-                out.append((sign, "fuzzy", m.group(1) + "\x00" + (m.group(2) or "")))
-                continue
-            if body.endswith("*") and len(body) > 1:
-                out.append((sign, "prefix", body[:-1].lower()))
-                continue
+        m = re.fullmatch(r"(.+?)~(\d?)", body)
+        if m:
+            out.append((sign, "fuzzy", m.group(1) + "\x00" + (m.group(2) or "")))
+            continue
+        if body.endswith("*") and len(body) > 1:
+            out.append((sign, "prefix", body[:-1].lower()))
+            continue
         out.append((sign, "terms", body))
     return out
+
+
+def _postings_union(docs_of, terms: list[str]) -> np.ndarray:
+    """Union of posting doc_ids over an expansion's terms (sorted unique).
+    ``docs_of`` maps term -> doc_id array (local reader postings or a sharded
+    per-owner fetch). Empty expansion -> empty array — as a ``must`` that
+    correctly yields zero results (required atom matched nothing)."""
+    parts = [d for t in terms if (d := docs_of(t)).size]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
 
 
 def _deletion_variants(term: str, max_edits: int) -> set[str]:
@@ -873,8 +883,12 @@ class Searcher:
         ``"a b"``             exact phrase required (positional index)
         ``-"a b"``            phrase excluded
         ``field:v``           exact filter; ``-field:v`` excludes
-        ``pref*``             prefix expansion, scored
-        ``term~`` / ``t~2``   fuzzy expansion (≤1 / ≤2 edits), scored
+        ``pref*``             prefix expansion, scored; ``+pref*`` also
+                              REQUIRES a doc to match some expanded term
+                              (the union of the expansion's postings joins
+                              ``bool.must``); ``-pref*`` excludes that union
+        ``term~`` / ``t~2``   fuzzy expansion (≤1 / ≤2 edits), scored;
+                              ``+``/``-`` modifiers as for prefix
         ====================  ================================================
 
         Scoring: one BM25 sum over the union of scored atoms' analyzed /
@@ -899,13 +913,26 @@ class Searcher:
                     nots.append(r.postings(body)[0])
                 else:
                     exact.append(body)
-            elif kind == "fuzzy":
-                text, _, edits = body.partition("\x00")
-                e = int(edits or max_edits)
-                for t in r.tokenizer.tokenize(text):
-                    score_set.update(r.expand_fuzzy(t, min(max(e, 1), 2)))
-            elif kind == "prefix":
-                score_set.update(r.expand_prefix(body, max_expansions))
+            elif kind in ("fuzzy", "prefix"):
+                if kind == "fuzzy":
+                    text, _, edits = body.partition("\x00")
+                    e = min(max(int(edits or max_edits), 1), 2)
+                    exp: set[str] = set()
+                    for t in r.tokenizer.tokenize(text):
+                        exp.update(r.expand_fuzzy(t, e))
+                else:
+                    exp = set(r.expand_prefix(body, max_expansions))
+                if neg == "-":
+                    # exclude any doc matching ANY expanded term
+                    nots.append(
+                        _postings_union(lambda t: r.postings(t)[0], sorted(exp))
+                    )
+                else:
+                    score_set.update(exp)
+                    if neg == "+":  # required: doc must match SOME expansion
+                        musts.append(
+                            _postings_union(lambda t: r.postings(t)[0], sorted(exp))
+                        )
             elif neg == "-":
                 for t in r.tokenizer.tokenize(body):
                     nots.append(r.postings(t)[0])

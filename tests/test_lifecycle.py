@@ -124,6 +124,54 @@ def test_delete_by_term_and_idempotence(idx):
     assert read_tombstones(DIR).size == 0
 
 
+def test_tombstone_segments_are_immutable_and_race_safe(idx, monkeypatch):
+    """Segmented tombstone layout (ADVICE r3: the flat file's
+    read-union-replace could drop a concurrent writer's ids):
+
+    * each ``delete_docs`` call writes ONE new immutable segment — no call
+      ever rewrites existing state, so concurrent deletes compose;
+    * compaction clears exactly the segments it snapshotted — a delete
+      landing mid-sweep keeps its segment and its docs stay masked;
+    * range-scoped reads prune non-overlapping segments by FILENAME,
+      without opening them (per-doc-range readers load only their slice).
+    """
+    from nmr_fair_dos_ray.pipelines import lifecycle
+    from nmr_fair_dos_ray.pipelines.lifecycle import tombstone_segments
+
+    assert delete_docs(DIR, [1, 5, 9]) == 3
+    seg1 = set(tombstone_segments(DIR))
+    assert len(seg1) == 1
+    assert delete_docs(DIR, [2, 5]) == 4  # overlap dedups on read
+    segs = tombstone_segments(DIR)
+    assert len(segs) == 2 and seg1 < set(segs)  # first segment untouched
+    assert np.array_equal(read_tombstones(DIR), [1, 2, 5, 9])
+
+    # range-scoped read: correct subset, and non-overlapping segments are
+    # pruned unopened (count actual file opens)
+    opens = []
+    real_read = lifecycle.pq.read_table
+
+    def counting_read(path, *a, **k):
+        opens.append(path)
+        return real_read(path, *a, **k)
+
+    monkeypatch.setattr(lifecycle.pq, "read_table", counting_read)
+    assert np.array_equal(read_tombstones(DIR, lo=2, hi=5), [2, 5])
+    assert read_tombstones(DIR, lo=1_000, hi=2_000).size == 0
+    assert opens.count(segs[0]) + opens.count(segs[1]) == 2  # 2nd call: 0 opens
+    monkeypatch.undo()
+
+    # compaction race: snapshot, then a "concurrent" delete, then the
+    # snapshot-scoped clear compact_index performs — the late delete survives
+    snap = tombstone_segments(DIR)
+    delete_docs(DIR, [7])
+    clear_tombstones(DIR, paths=snap)
+    assert np.array_equal(read_tombstones(DIR), [7])
+    assert IndexReader(DIR).deleted_mask(np.array([7, 8], np.int64))[0]
+    clear_tombstones(DIR)
+    assert tombstone_segments(DIR) == []
+
+
 def test_sharded_serving_honors_tombstones(idx):
     from nmr_fair_dos_ray.search.distributed import ShardedSearcher
 

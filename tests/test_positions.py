@@ -119,6 +119,19 @@ def test_phrase_requires_positions(sf_unit):
     assert r.positions("def") is None
     with pytest.raises(ValueError, match="store_positions"):
         Searcher(r).search_phrase("a b")
+    # the sharded router honors the same contract — a non-positional index
+    # RAISES on phrase/query-string search instead of silently returning
+    # empty results (ADVICE r3: the old behavior broke the bit-equal claim)
+    from nmr_fair_dos_ray.search.distributed import ShardedSearcher
+
+    pool = ShardedSearcher(d, pool_size=2)
+    try:
+        with pytest.raises(ValueError, match="store_positions"):
+            pool.search_phrase("a b")
+        with pytest.raises(ValueError, match="store_positions"):
+            pool.search_query('"a b"')
+    finally:
+        pool.shutdown()
 
 
 def test_and_scores_bit_equal_to_taat(pos_index):

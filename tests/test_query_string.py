@@ -89,6 +89,37 @@ def test_prefix_and_fuzzy_atoms(s):
     assert s.search_query("retrn~2", k=10) == s._taat(sorted(fz2), 10, None)
 
 
+def test_signed_prefix_and_fuzzy_atoms(s):
+    """`+expr*` / `+term~` require a doc to match SOME expanded term;
+    `-expr*` / `-term~` exclude the expansion's whole postings union (not
+    just the literal token) — the ES query_string modifier semantics."""
+    exp = sorted(set(s.r.expand_prefix("conf")))
+    need = set(
+        np.unique(np.concatenate([s.r.postings(t)[0] for t in exp])).tolist()
+    )
+    full = s._taat(sorted(set(exp) | {"merge"}), 10_000, None)
+    want = [(d, sc) for d, sc in full if d in need][:10]
+    assert want
+    assert s.search_query("+conf* merge", k=10) == want
+    base = _full(s, "merge")
+    want2 = [(d, sc) for d, sc in base if d not in need][:10]
+    assert s.search_query("merge -conf*", k=10) == want2
+    # negation must exclude expansion matches, not only the literal "conf"
+    assert any(d in need for d, _ in base), "fixture must exercise exclusion"
+
+    fz = sorted(set(s.r.expand_fuzzy("retrn", 1)))
+    fneed = set(
+        np.unique(np.concatenate([s.r.postings(t)[0] for t in fz])).tolist()
+    )
+    full3 = s._taat(sorted(set(fz) | {"merge"}), 10_000, None)
+    want3 = [(d, sc) for d, sc in full3 if d in fneed][:10]
+    assert s.search_query("+retrn~ merge", k=10) == want3
+    want4 = [(d, sc) for d, sc in base if d not in fneed][:10]
+    assert s.search_query("merge -retrn~", k=10) == want4
+    # a required atom that expands to nothing yields zero results
+    assert s.search_query("+zzqx9* merge", k=10) == []
+
+
 def test_constraint_only_and_empty(s):
     langs = s.r.terms_with_prefix("lang:")
     lv = langs[0]
@@ -113,6 +144,10 @@ def test_sharded_phrase_and_query_string_match_local(s):
             'def -"self return"',
             '"self return" conf*',
             "retrn~ merge",
+            "+conf* merge",
+            "merge -conf*",
+            "+retrn~ merge",
+            "merge -retrn~",
             f"def -{langs[0]}",
             f"{langs[0]}",
         ):

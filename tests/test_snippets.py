@@ -39,6 +39,42 @@ def test_window_clips_at_doc_end_and_multiterm():
     assert rows[1]["snippet"] == "beta"
 
 
+def test_code_mode_matches_per_row_bruteforce():
+    """ADVICE r3: code mode's token stream arrives grouped
+    [all compounds] + [all identifier parts], not (row, pos) order — the
+    stage must re-sort before the window count / gather. Checked against a
+    brute-force per-row scan over the tokenizer's own stream."""
+    from nmr_fair_dos_ray.tokenizer import Tokenizer
+
+    texts = [
+        "def getUserName(self): return user_name",
+        "snake_case camelCase SIMPLE then snake again",
+        "no hits here at all",
+        "",
+    ]
+    terms = ["user", "name", "snake", "simple"]
+    window = 5
+    stage = SnippetStage(query_terms=terms, window=window, mode="code")
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = stage(b).to_pylist()
+    tok = Tokenizer("code")
+    tset = set(terms)
+    for i, t in enumerate(texts):
+        stream = tok.tokenize(t)
+        bc, bs = 0, 0
+        for j, w in enumerate(stream):
+            if w not in tset:
+                continue  # windows start at a matched token
+            c = sum(1 for x in stream[j:j + window] if x in tset)
+            if c > bc:
+                bc, bs = c, j
+        assert got[i]["n_matched"] == bc, (i, stream)
+        assert got[i]["snippet"] == (
+            " ".join(stream[bs:bs + window]) if bc else ""
+        ), (i, stream)
+
+
 def test_empty_batch():
     stage = SnippetStage(query_terms=["q"], window=4)
     b = pa.table({"doc_id": pa.array([], pa.int64()),
