@@ -267,7 +267,15 @@ def most_datatypes(records: Dataset) -> Dataset:
 
 
 # ------------------------------------------------- J1: two-key edge resolve
-def resolve_edges(edges: Dataset, records: Dataset) -> Dataset:
+
+#: lookup sides at or below this many keys (distinct pids + location rows)
+#: resolve via the broadcast path — one ray.put, zero shuffles; beyond it
+#: the hash-partitioned `resolve_edges_join` runs (same auto-gate pattern
+#: as dedup.MINHASH_DRIVER_VERIFY_MAX_PAIRS)
+RESOLVE_BROADCAST_MAX_KEYS = 2_000_000
+
+
+def resolve_edges(edges: Dataset, records: Dataset, mode: str = "auto") -> Dataset:
     """The reference's `addRelationship` lookup-join, as data (no callbacks).
 
     Reference: src/nmr_FAIR_DOs/lib.py:120-274 — an entry batch targets a
@@ -281,36 +289,60 @@ def resolve_edges(edges: Dataset, records: Dataset) -> Dataset:
     location per record) is a small projection of the record corpus —
     broadcast once via ``ray.put``, read per actor, never re-shipped per batch
     (SURVEY.md §2.6 J1: two-key join = union of two equi-joins with priority).
+
+    ``mode``: ``"broadcast"`` forces this path, ``"join"`` delegates to
+    :func:`resolve_edges_join`, ``"auto"`` (default) picks by lookup-side
+    size — at most ``RESOLVE_BROADCAST_MAX_KEYS`` keys broadcast; beyond
+    that the hash-partitioned join runs (a lookup side that no longer fits
+    a worker heap must shuffle, not ship).
     """
     import ray
+
+    if mode == "join":
+        return resolve_edges_join(edges, records)
 
     pids_t = records.groupby("pid").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     loc_rows = records.filter(
         expr=f"key == '{KEY_DIGITAL_OBJECT_LOCATION}'"
     ).select_columns(["pid", "value_json"])
-    pid_set = set(pids_t.to_pandas()["pid"])
+    if mode == "auto":
+        n_keys = pids_t.count() + loc_rows.count()
+        if n_keys > RESOLVE_BROADCAST_MAX_KEYS:
+            return resolve_edges_join(edges, records)
+
+    pids = pa.array(sorted(pids_t.to_pandas()["pid"]), pa.string())
     # determinism: if two records share a location, keep the smallest pid
-    loc_df = loc_rows.to_pandas().sort_values(["value_json", "pid"])
-    loc_map = dict(loc_df.drop_duplicates("value_json", keep="first").set_index("value_json")["pid"])
-    ref = ray.put((pid_set, loc_map))
+    loc_df = (
+        loc_rows.to_pandas()
+        .sort_values(["value_json", "pid"])
+        .drop_duplicates("value_json", keep="first")
+    )
+    loc_keys = pa.array(loc_df["value_json"], pa.string())
+    loc_vals = pa.array(loc_df["pid"], pa.string())
+    ref = ray.put((pids, loc_keys, loc_vals))
 
     class Resolve:
         def __init__(self):
-            self.pid_set, self.loc_map = ray.get(ref)
+            # zero-copy plasma read, once per actor
+            self.pids, self.loc_keys, self.loc_vals = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            targets = batch["presumed_target"].to_pylist()
-            resolved, how = [], []
-            for t in targets:
-                if t in self.pid_set:  # probe 1: exact PID
-                    resolved.append(t); how.append("pid")
-                elif t in self.loc_map:  # probe 2: digitalObjectLocation
-                    resolved.append(self.loc_map[t]); how.append("location")
-                else:  # dead-letter (reference's errors list)
-                    resolved.append(None); how.append("unresolved")
+            t = batch["presumed_target"]
+            # probe 1: exact PID membership; probe 2: location → min pid
+            # (both vectorized Arrow hash-probes; priority = if_else order)
+            in_pid = pc.is_in(t, value_set=self.pids)
+            loc_hit = pc.take(self.loc_vals, pc.index_in(t, value_set=self.loc_keys))
+            resolved = pc.if_else(in_pid, t, loc_hit).cast(pa.string())
+            how = pc.if_else(
+                in_pid, pa.scalar("pid"),
+                pc.if_else(
+                    pc.is_valid(loc_hit), pa.scalar("location"),
+                    pa.scalar("unresolved"),
+                ),
+            )
             return batch.append_column(
-                "resolved_pid", pa.array(resolved, pa.string())
-            ).append_column("resolved_by", pa.array(how, pa.string()))
+                "resolved_pid", resolved
+            ).append_column("resolved_by", how.cast(pa.string()))
 
     return edges.map_batches(Resolve, batch_format="pyarrow", concurrency=(1, 4))
 

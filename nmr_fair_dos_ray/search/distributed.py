@@ -321,6 +321,7 @@ class ShardedSearcher:
     def _score_list(
         self, terms: list[str], k: int, allowed: np.ndarray | None = None,
         forbidden: np.ndarray | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Scatter-gather scoring of a pre-expanded SORTED term list (no
         pruning round — expansion lists are typically short/rare terms)."""
@@ -329,7 +330,10 @@ class ShardedSearcher:
                 return []
             if forbidden is not None and forbidden.size:
                 allowed = np.setdiff1d(allowed, forbidden)
-            return [(int(d), 0.0) for d in np.sort(allowed)[:k]]
+            docs = np.sort(allowed)
+            if after is not None:
+                docs = docs[docs > after[1]]
+            return [(int(d), 0.0) for d in docs[:k]]
         by_actor: dict[int, list[str]] = defaultdict(list)
         for t in terms:
             by_actor[self._route(t)].append(t)
@@ -340,7 +344,23 @@ class ShardedSearcher:
         }
         for slot, fut in futures.items():
             gathered.update(ray.get(fut))
-        return self._merge(terms, gathered, allowed, k, forbidden)
+        return self._merge(terms, gathered, allowed, k, forbidden, after)
+
+    def search_after(
+        self, query: str, k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Distributed cursor pagination — bit-equal to the local
+        :meth:`Searcher.search_after` (same deterministic float64 scores,
+        same strict (score desc, doc_id asc) cursor filter, applied
+        router-side after the scatter-gather merge). Stateless: a cursor
+        from a local page resumes on the pool and vice versa."""
+        terms, exact = self.tokenizer.tokenize_query(query)
+        allowed: np.ndarray | None = None
+        for t in exact:
+            docs = ray.get(self.actors[self._route(t)].exact_docs.remote(t))
+            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+        return self._score_list(terms, k, allowed, after=after)
 
     def _phrase_match(self, phrase: str) -> tuple[np.ndarray, np.ndarray]:
         """Distributed phrase resolution: fetch each analyzed term's
@@ -501,7 +521,8 @@ class ShardedSearcher:
 
     @staticmethod
     def _merge(terms, gathered, allowed, k,
-               forbidden: np.ndarray | None = None) -> list[tuple[int, float]]:
+               forbidden: np.ndarray | None = None,
+               after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
         parts = [gathered[t] for t in terms if t in gathered and gathered[t][0].size]
         if not parts:
             return []
@@ -514,6 +535,12 @@ class ShardedSearcher:
             uniq, acc = uniq[m], acc[m]
         if forbidden is not None and forbidden.size and uniq.size:
             m = ~np.isin(uniq, forbidden)
+            uniq, acc = uniq[m], acc[m]
+        if after is not None and uniq.size:
+            a_s, a_d = float(after[0]), int(after[1])
+            # strictly after the cursor in (score desc, doc asc) order —
+            # same filter as the local TAAT path (scores are bit-equal)
+            m = (acc < a_s) | ((acc == a_s) & (uniq > a_d))
             uniq, acc = uniq[m], acc[m]
         if uniq.size == 0:
             return []

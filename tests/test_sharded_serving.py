@@ -37,6 +37,30 @@ def test_results_identical_to_local(sharded):
         assert s.search(q, k=10) == local.search(q, k=10, algorithm="bmw"), q
 
 
+def test_search_after_pages_identical_to_local(sharded):
+    """Sharded cursor pagination is bit-equal to the local engine page by
+    page, and a local cursor resumes on the pool (stateless cursors)."""
+    s, idx, sf = sharded
+    local = Searcher(IndexReader(idx))
+    queries = [r["query"] for r in pq.read_table(sf["queries"]).to_pylist()][:4]
+    for q in queries:
+        cursor = None
+        pages = 0
+        while pages < 4:
+            want = local.search_after(q, k=7, after=cursor)
+            got = s.search_after(q, k=7, after=cursor)
+            assert got == want, (q, cursor)
+            if not want:
+                break
+            cursor = (want[-1][1], want[-1][0])
+            pages += 1
+    # pages partition the full ranking: page1 ∪ page2 == top-2k, disjoint
+    q = queries[0]
+    p1 = s.search_after(q, k=7)
+    p2 = s.search_after(q, k=7, after=(p1[-1][1], p1[-1][0]))
+    assert p1 + p2 == local.search(q, k=14, algorithm="taat")
+
+
 def test_index_is_partitioned_not_replicated(sharded):
     s, idx, _ = sharded
     counts = ray.get([a.term_count.remote() for a in s.actors])
