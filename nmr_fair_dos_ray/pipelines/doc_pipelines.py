@@ -614,17 +614,27 @@ def q_audio_pipeline(sf_dir: str) -> pd.DataFrame:
 
 
 def q_video_pipeline(sf_dir: str) -> pd.DataFrame:
-    """Video frame-sampling over REAL synthesized y4m payloads (rows-only
-    oracle). Returns per-doc sampled-frame stats."""
-    from nmr_fair_dos_ray.stages.multimodal import VideoFrameSampleStage, synth_y4m
+    """Video frame-sampling over REAL synthesized payloads — a MIX of
+    containers round-robined by doc_id: uncompressed YUV4MPEG2, compressed
+    AVI-MJPEG, and bare concatenated-JFIF MJPEG (each frame decoded with
+    the pure-Python baseline-JPEG codec). Rows-only oracle. Returns per-doc
+    sampled-frame stats."""
+    from nmr_fair_dos_ray.stages.multimodal import (
+        VideoFrameSampleStage, synth_mjpeg_avi, synth_y4m,
+    )
 
     docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id"]).limit(64)
+
+    def _payload(d: int) -> bytes:
+        if d % 3 == 0:
+            return synth_y4m(d)
+        return synth_mjpeg_avi(d, container="avi" if d % 3 == 1 else "jfif")
 
     def attach(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
         return pa.table(
             {"doc_id": pa.array(ids, pa.int64()),
-             "payload": pa.array([synth_y4m(int(d)) for d in ids], pa.binary())}
+             "payload": pa.array([_payload(int(d)) for d in ids], pa.binary())}
         )
 
     out = (

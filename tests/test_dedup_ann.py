@@ -466,6 +466,66 @@ def test_audio_stage_dead_letters_corrupt_riff():
     assert out["frames"].type == pa.list_(pa.int16())
 
 
+def test_mjpeg_avi_roundtrip():
+    """Compressed-video seam is CLOSED: grayscale frames → AVI-MJPEG via the
+    pure-Python JPEG encoder → decode_mjpeg_frames recovers every sampled
+    luma plane within JPEG loss tolerance; same for a bare concatenated-JFIF
+    stream, and both containers dispatch through VideoFrameSampleStage."""
+    from nmr_fair_dos_ray.stages.multimodal import (
+        VideoFrameSampleStage, decode_mjpeg_frames, encode_mjpeg_avi,
+    )
+
+    w, h, n = 16, 8, 5
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.stack([
+        ((yy * 6 + xx * 3 + 17 * i) % 200).astype(np.uint8) for i in range(n)
+    ])
+    avi = encode_mjpeg_avi(frames)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    got, gw, gh = decode_mjpeg_frames(avi, every_nth=2)
+    assert (gw, gh) == (w, h) and got.shape == (3, h, w)
+    for i, fi in enumerate([0, 2, 4]):
+        err = np.abs(got[i].astype(int) - frames[fi].astype(int))
+        assert err.max() <= 12 and err.mean() < 3, (i, err.max(), err.mean())
+    # bare concatenated-JFIF container: same frames, same decode contract
+    from nmr_fair_dos_ray.stages.jpeg import encode_jpeg
+
+    jfif = b"".join(encode_jpeg(f) for f in frames)
+    got2, _, _ = decode_mjpeg_frames(jfif, every_nth=2)
+    np.testing.assert_array_equal(got2, got)
+    # stage dispatch: AVI + JFIF + corrupt in one batch
+    t = pa.table({"payload": pa.array([avi, jfif, b"RIFFbad!"], pa.binary())})
+    out = VideoFrameSampleStage(every_nth=2, max_frames=2)(t)
+    assert out["decoded"].to_pylist() == [True, True, False]
+    assert out["n_frames"].to_pylist() == [2, 2, 0]
+    a0 = np.asarray(out["frames_luma"][0].as_py(), np.uint8)
+    a1 = np.asarray(out["frames_luma"][1].as_py(), np.uint8)
+    np.testing.assert_array_equal(a0, a1)
+    np.testing.assert_array_equal(a0, got[:2].ravel())
+
+
+def test_mjpeg_rgb_and_synth_determinism():
+    from nmr_fair_dos_ray.stages.multimodal import (
+        decode_mjpeg_frames, encode_mjpeg_avi, synth_mjpeg_avi,
+    )
+
+    rng = np.random.RandomState(5)
+    # smooth RGB frames (JPEG-friendly): gradient + small noise
+    yy, xx = np.mgrid[0:8, 0:16]
+    base = np.stack([(yy * 9 + xx * 5) % 220, (xx * 7) % 220, (yy * 11) % 220],
+                    axis=-1).astype(np.uint8)
+    frames = np.stack([base, 255 - base])
+    got, w, h = decode_mjpeg_frames(encode_mjpeg_avi(frames))
+    assert (w, h) == (16, 8) and got.shape == (2, 8, 16)
+    # luma of decoded RGB tracks the source's BT.601 luma
+    want = (0.299 * frames[..., 0] + 0.587 * frames[..., 1]
+            + 0.114 * frames[..., 2])
+    assert np.abs(got.astype(float) - want).mean() < 6
+    assert synth_mjpeg_avi(42) == synth_mjpeg_avi(42)
+    assert synth_mjpeg_avi(42) != synth_mjpeg_avi(43)
+    assert synth_mjpeg_avi(42, container="jfif").startswith(b"\xff\xd8")
+
+
 def test_real_y4m_video_decoder():
     """Synthesized YUV4MPEG2 bytes round-trip: every-Nth luma planes."""
     from nmr_fair_dos_ray.stages.multimodal import (
