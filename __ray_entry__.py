@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snippets": dp.q_snippets,
         "q_search_page2": dp.q_search_page2,
         "q_search_facets": dp.q_search_facets,
+        "q_best_fields": dp.q_best_fields,
         # text analysis / training-data ops
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
         "q_quality_features": dp.q_quality_features,
@@ -113,6 +114,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# the derived 'title' field: first 8 whitespace tokens of text, then the
+# same simple-mode tokenization the title index applies (mirrors
+# doc_pipelines.documents_title_index exactly)
+_TITLE_TOKENS = (
+    "list_filter(string_split_regex(lower(array_to_string("
+    "list_slice(list_filter(string_split_regex(trim(text), '\\s+'), "
+    "x -> x <> ''), 1, 8), ' ')), '[^a-z0-9]+'), x -> x <> '')"
+)
 _WS_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
 
@@ -313,6 +322,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_exact_lookup": """
             SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id
+        """,
+        # multi_match best_fields: per-field BM25 (each field its OWN dl /
+        # avgdl / df — the Lucene per-field model), merged by per-doc max
+        # (dis_max, tie_breaker 0)
+        "q_best_fields": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('data', 'pipeline', 'query')
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            s_text AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            ),
+            ttoks AS (
+                SELECT doc_id, unnest({_TITLE_TOKENS}) AS term FROM documents
+            ),
+            tdl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM ttoks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            tstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM tdl),
+            ttf AS (
+                SELECT doc_id, term, count(*) AS tf FROM ttoks
+                WHERE term IN ('data', 'pipeline', 'query')
+                GROUP BY doc_id, term
+            ),
+            tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+            s_title AS (
+                SELECT ttf.doc_id,
+                       sum(
+                           ln(1 + (tstats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+                           * ttf.tf * (1.2 + 1)
+                           / (ttf.tf + 1.2 * (1 - 0.75 + 0.75 * tdl.dl / tstats.avgdl))
+                       ) AS score
+                FROM ttf
+                JOIN tdf ON ttf.term = tdf.term
+                JOIN tdl ON ttf.doc_id = tdl.doc_id
+                CROSS JOIN tstats
+                GROUP BY ttf.doc_id
+            ),
+            merged AS (
+                SELECT coalesce(s_text.doc_id, s_title.doc_id) AS doc_id,
+                       greatest(coalesce(s_text.score, 0),
+                                coalesce(s_title.score, 0)) AS score
+                FROM s_text FULL OUTER JOIN s_title
+                  ON s_text.doc_id = s_title.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (SELECT * FROM merged ORDER BY score DESC, doc_id LIMIT 10)
         """,
         # prefix search: dictionary expansion = LIKE 'p%', then the standard
         # per-term-df BM25 disjunction (scoring_boolean rewrite semantics)

@@ -71,7 +71,67 @@ def documents_index(sf_dir: str, positions: bool = False) -> str:
     return idx_dir
 
 
+#: tokens per derived title (the second scored field for best_fields)
+TITLE_TOKENS = 8
+
+
+def documents_title_index(sf_dir: str) -> str:
+    """Second scored field for ``best_fields``: ``title`` = the first
+    ``TITLE_TOKENS`` whitespace tokens of ``text``, derived deterministically
+    (one vectorized projection → parquet → index). Its own index = its own
+    postings, df/idf AND length norms — the Lucene per-field model the ES
+    ``multi_match`` scorer assumes (a short field is normalized by the short
+    field's avgdl, not the body's)."""
+    idx_dir = f"/tmp/nmr_fair_dos_ray/docindex/{_tag(sf_dir)}-title"
+    tdir = f"/tmp/nmr_fair_dos_ray/doctitle/{_tag(sf_dir)}"
+    if not (os.path.isdir(tdir) and os.listdir(tdir)):
+        def derive(b: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(b["text"]), pattern=r"\s+"
+            )
+            title = pc.binary_join(
+                pc.list_slice(toks, 0, TITLE_TOKENS), " "
+            )
+            return pa.table({
+                "doc_id": b["doc_id"], "title": title,
+                "source": b["source"], "lang": b["lang"],
+            })
+
+        (
+            sized_read_parquet(
+                _t(sf_dir, "documents"),
+                columns=["doc_id", "text", "source", "lang"],
+            )
+            .map_batches(derive, batch_format="pyarrow")
+            .write_parquet(tdir)
+        )
+    build_index(tdir, idx_dir, replace(DOC_INDEX_CFG, content_col="title"),
+                resume=True)
+    return idx_dir
+
+
 # ----------------------------------------------------------- index queries
+def q_best_fields(sf_dir: str) -> pd.DataFrame:
+    """True multi-field ``best_fields`` (ES ``multi_match``, reference
+    elasticsearch.py:250-262): per-field BM25 over [text, title] — each
+    field with its own postings and length norms — merged by per-doc max
+    (dis_max, tie_breaker 0). Oracle: GREATEST over two per-field BM25
+    CTEs in DuckDB."""
+    from nmr_fair_dos_ray.search.engine import best_fields_search
+
+    searchers = [
+        Searcher(IndexReader(documents_index(sf_dir))),
+        Searcher(IndexReader(documents_title_index(sf_dir))),
+    ]
+    hits = best_fields_search(searchers, BM25_QUERY, k=10)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
 def q_df_top_terms(sf_dir: str) -> pd.DataFrame:
     """Document frequency per term, top 50 (df desc, term asc) — the core
     postings statistic (SURVEY.md §2.7 engine rows)."""

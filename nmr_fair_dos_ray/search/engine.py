@@ -1108,6 +1108,39 @@ class Searcher:
         return out
 
     # ----------------------------------------------------------------- taat
+    def _score_map(
+        self, terms: list[str], allowed: np.ndarray | None,
+        forbidden: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """The TAAT accumulation WITHOUT the top-k cut: ``(doc_ids, scores)``
+        over every matching doc, doc_id-sorted. Shared by :meth:`_taat` and
+        the multi-field ``best_fields`` merge (which needs each field's full
+        match map to take the per-doc max)."""
+        r = self.r
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        doc_parts, score_parts = [], []
+        for t in terms:  # already sorted unique
+            docs, tfs = r.postings(t)
+            if docs.size == 0:
+                continue
+            idf = r.idf(t)
+            scores = bm25_term_scores(tfs, r.doclens(docs), idf, r.k1, r.b, r.avgdl)
+            doc_parts.append(docs)
+            score_parts.append(scores)
+        if not doc_parts:
+            return empty
+        uniq = np.unique(np.concatenate(doc_parts))
+        acc = np.zeros(uniq.size, np.float64)
+        for docs, scores in zip(doc_parts, score_parts):
+            acc[np.searchsorted(uniq, docs)] += scores
+        if allowed is not None:
+            m = np.isin(uniq, allowed)
+            uniq, acc = uniq[m], acc[m]
+        if forbidden is not None and forbidden.size and uniq.size:
+            m = ~np.isin(uniq, forbidden)
+            uniq, acc = uniq[m], acc[m]
+        return uniq, acc
+
     def _taat(
         self, terms: list[str], k: int, allowed: np.ndarray | None,
         forbidden: np.ndarray | None = None,
@@ -1120,28 +1153,7 @@ class Searcher:
         per-doc addition order equals the sorted term order ⇒ bit-equal to
         BMW and to the pure-Python oracle.
         """
-        r = self.r
-        doc_parts, score_parts = [], []
-        for t in terms:  # already sorted unique
-            docs, tfs = r.postings(t)
-            if docs.size == 0:
-                continue
-            idf = r.idf(t)
-            scores = bm25_term_scores(tfs, r.doclens(docs), idf, r.k1, r.b, r.avgdl)
-            doc_parts.append(docs)
-            score_parts.append(scores)
-        if not doc_parts:
-            return []
-        uniq = np.unique(np.concatenate(doc_parts))
-        acc = np.zeros(uniq.size, np.float64)
-        for docs, scores in zip(doc_parts, score_parts):
-            acc[np.searchsorted(uniq, docs)] += scores
-        if allowed is not None:
-            m = np.isin(uniq, allowed)
-            uniq, acc = uniq[m], acc[m]
-        if forbidden is not None and forbidden.size and uniq.size:
-            m = ~np.isin(uniq, forbidden)
-            uniq, acc = uniq[m], acc[m]
+        uniq, acc = self._score_map(terms, allowed, forbidden)
         if after is not None and uniq.size:
             a_s, a_d = float(after[0]), int(after[1])
             # strictly after the cursor in (score desc, doc asc) order
@@ -1304,6 +1316,55 @@ class Searcher:
                 c.next_geq(range_end + 1)
         out = sorted(heap, key=lambda s: (-s[0], -s[1]))
         return [(-d, s) for s, d in out]
+
+
+def best_fields_search(
+    searchers: list["Searcher"], query: str, k: int = 10,
+    tie_breaker: float = 0.0,
+) -> list[tuple[int, float]]:
+    """True multi-field ``best_fields`` scoring (the ES ``multi_match
+    type=best_fields`` / ``dis_max`` analog — the reference scores
+    max-over-fields across ``[digitalObjectLocation, pid]``,
+    /root/reference/src/nmr_FAIR_DOs/connectors/elasticsearch.py:250-262).
+
+    Each field is its own index (its own postings, df/idf AND length norms
+    — the Lucene per-field model: a short ``title`` field is not penalized
+    by the body's avgdl), queried by one :class:`Searcher` per field over
+    the SAME doc_id space. Per doc::
+
+        score = max_f s_f  +  tie_breaker * (sum_f s_f - max_f s_f)
+
+    with ``tie_breaker=0.0`` (the best_fields default) this is a pure
+    dis-max — deterministic float64 max of per-field TAAT scores, so the
+    result is SQL-oracle-checkable (GREATEST over per-field BM25 CTEs).
+    Ranked by (score desc, doc_id asc).
+
+    Scale: cost is one TAAT accumulation per field over that field's
+    postings — fields are typically short (title, location, pid), so the
+    extra fields add little; the merge is one union + max over match maps.
+    """
+    maps = []
+    for s in searchers:
+        terms, exact = s.r.tokenizer.tokenize_query(query)
+        allowed = s._exact_candidates(exact)
+        if not terms:
+            continue
+        uniq, acc = s._score_map(terms, allowed)
+        if uniq.size:
+            maps.append((uniq, acc))
+    if not maps:
+        return []
+    all_docs = np.unique(np.concatenate([u for u, _ in maps]))
+    best = np.zeros(all_docs.size, np.float64)
+    total = np.zeros(all_docs.size, np.float64)
+    for uniq, acc in maps:
+        v = np.zeros(all_docs.size, np.float64)
+        v[np.searchsorted(all_docs, uniq)] = acc
+        np.maximum(best, v, out=best)
+        total += v
+    score = best if tie_breaker == 0.0 else best + tie_breaker * (total - best)
+    order = np.lexsort((all_docs, -score))[: min(k, all_docs.size)]
+    return [(int(all_docs[i]), float(score[i])) for i in order]
 
 
 class QueryScorer:
