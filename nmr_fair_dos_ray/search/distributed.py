@@ -186,12 +186,13 @@ class ShardActor:
         the terms) on first use."""
         return self.reader.expand_fuzzy(term, max_edits)
 
-    def positions(self, term: str):
+    def positions(self, term: str, candidates: np.ndarray | None = None):
         """Decoded (tombstone-masked) positional postings of an owned term —
-        the per-term fetch behind distributed phrase matching. Payload is
-        the term's positional lists only (the phrase cost model), not the
-        shard."""
-        return self.reader.positions(term)
+        the per-term fetch behind distributed phrase matching. With
+        ``candidates`` (the router's doc-set intersection) the actor
+        seek-decodes and RETURNS only candidate postings — both the decode
+        and the RPC payload scale with the candidates, not the term's df."""
+        return self.reader.positions(term, candidates)
 
     def has_positions(self) -> bool:
         """Whether this slot's index carries a positional stream — lets the
@@ -388,7 +389,27 @@ class ShardedSearcher:
         if not terms:
             return empty
         uniq = sorted(set(terms))
-        futs = {t: self.actors[self._route(t)].positions.remote(t) for t in uniq}
+        # round 1: doc sets only (small payloads) → candidate intersection;
+        # round 2: candidate-scoped positional fetches — decode and payload
+        # proportional to candidates, not hot-term df (same skip-decode as
+        # the local engine, so results stay bit-equal)
+        dfuts = {t: self.actors[self._route(t)].exact_docs.remote(t) for t in uniq}
+        postings = {t: ray.get(f) for t, f in dfuts.items()}
+        if any(d.size == 0 for d in postings.values()):
+            return empty
+        from nmr_fair_dos_ray.search.engine import sorted_intersect
+
+        inter: np.ndarray | None = None
+        for t in sorted(uniq, key=lambda t: postings[t].size):
+            inter = postings[t] if inter is None else sorted_intersect(
+                inter, postings[t]
+            )
+            if inter.size == 0:
+                return empty
+        futs = {
+            t: self.actors[self._route(t)].positions.remote(t, inter)
+            for t in uniq
+        }
         plists = {}
         for t, fut in futs.items():
             p = ray.get(fut)

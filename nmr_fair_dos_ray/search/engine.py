@@ -99,6 +99,19 @@ class IndexReader:
     lexicographic permutation — no per-reader Python dict.
     """
 
+    #: byte budgets for the positional LRUs (per reader). Sized so a
+    #: realistic hot phrase vocabulary (~100 hot terms × a few MB of decoded
+    #: positions each) stays resident on a serving actor without competing
+    #: with the shard slice itself.
+    POSITIONS_CACHE_BUDGET = 256 * 1024 * 1024
+    P_ENDS_CACHE_BUDGET = 64 * 1024 * 1024
+    P_KEYS_CACHE_BUDGET = 256 * 1024 * 1024
+    #: global composite-key stride for cached phrase keys (doc*K + pos).
+    #: Bounds any doc's token-stream positions: 4M positions per doc, and
+    #: 10^12 docs × 2^22 still fits int64. Terms whose streams exceed it
+    #: fall back to the per-query candidate path (checked at build time).
+    POS_KEY_STRIDE = 1 << 22
+
     def __init__(self, index_dir: str | None = None, *, state: dict | None = None):
         if state is None:
             state = self.build_state(index_dir)
@@ -245,7 +258,27 @@ class IndexReader:
         self._docs_offs, self._docs_data = _binary_views(self._b_docs)
         self._tfs_offs, self._tfs_data = _binary_views(self._b_tfs)
         self._postings_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # decoded-positions LRU, BYTE-budgeted (entry-count LRUs thrash as
+        # soon as the hot vocabulary exceeds the count — a 40-phrase working
+        # set touches ~80 terms — and every "warm" query re-decodes)
         self._positions_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._positions_cache_bytes = 0
+        # derived positional skip index per term: byte END offset of every
+        # varint value in the term's positional stream (one vectorized
+        # high-bit scan) — lets a selective phrase decode ONLY candidate
+        # postings instead of the whole hot-term stream
+        self._p_ends_cache: dict[str, np.ndarray] = {}
+        self._p_ends_cache_bytes = 0
+        # cached full composite key arrays (doc*POS_KEY_STRIDE + pos) — the
+        # reusable phrase-intersection operand for hot terms: a warm phrase
+        # query is then ONE sorted merge per adjacent term, no per-query
+        # key rebuild (the dominant warm cost before this cache)
+        self._p_keys_cache: dict[str, np.ndarray | None] = {}
+        self._p_keys_cache_bytes = 0
+        # positional touch counts: first touch seek-decodes (cold phrase
+        # stays cheap), repeat touches full-decode into the LRU so hot
+        # terms subset from cache instead of re-seeking every query
+        self._p_touch: dict[str, int] = {}
         self._prefix_cache: dict[str, list[str]] = {}
         self.blocks_decoded = 0  # cumulative; see _decode_range
         self._tid_cache: dict[str, int | None] = {}
@@ -440,11 +473,23 @@ class IndexReader:
                 out.append(t)
         return sorted(out)
 
-    def positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    def positions(
+        self, term: str, candidates: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Decoded positional postings of ``term``:
         ``(doc_ids, list_offsets, positions_flat)`` where doc ``doc_ids[i]``'s
         positions are ``positions_flat[list_offsets[i]:list_offsets[i+1]]``
         (ascending, 0-based in the doc's token stream).
+
+        ``candidates`` (sorted LIVE doc_ids, e.g. the intersection of the
+        phrase terms' masked posting lists) restricts the result — and,
+        when the candidate set is selective, the DECODE — to the candidate
+        postings: a derived skip index (byte end-offset of every varint
+        value in the term's stream, one vectorized high-bit scan, cached
+        per term) lets the decoder seek straight to each candidate
+        posting's byte span, so a hot term's stream is never wholesale
+        entropy-decoded for a selective phrase. Non-selective candidate
+        sets subset the (cached) full decode instead.
 
         Returns ``None`` when the index stores no positions, the term is
         absent, or the term is a synthetic exact-field term (those live
@@ -454,7 +499,7 @@ class IndexReader:
             return None
         hit = self._positions_cache.get(term)
         if hit is not None:
-            return hit
+            return hit if candidates is None else _subset_positions(hit, candidates)
         tid = self._lookup(term)
         if tid is None:
             return None
@@ -467,6 +512,16 @@ class IndexReader:
             if docs.size:
                 return None  # field term: postings but no stream
             return docs, np.zeros(1, np.int64), np.empty(0, np.int64)
+        if candidates is not None:
+            touched = self._p_touch.get(term, 0)
+            if len(self._p_touch) > 65536:
+                self._p_touch.clear()
+            self._p_touch[term] = touched + 1
+            # first touch: seek-decode candidates only (a cold phrase never
+            # pays a hot term's full stream). Repeat touch: fall through to
+            # the full decode + LRU so subsequent queries subset from cache.
+            if touched == 0 and candidates.size * 4 < docs.size:
+                return self._positions_selective(term, docs, tfs, lo, hi, candidates)
         vals = varint_decode(
             self._p_data[lo:hi].tobytes(), int(tfs.sum())
         ).astype(np.int64)
@@ -484,10 +539,97 @@ class IndexReader:
             docs, tfs = docs[keep], tfs[keep]
             offsets = np.concatenate([[0], np.cumsum(tfs)])
         out = (docs, offsets, pos)
-        if len(self._positions_cache) >= 64:
-            self._positions_cache.pop(next(iter(self._positions_cache)))
-        self._positions_cache[term] = out
-        return out
+        nb = docs.nbytes + offsets.nbytes + pos.nbytes
+        if nb <= self.POSITIONS_CACHE_BUDGET:
+            while (self._positions_cache and
+                   self._positions_cache_bytes + nb > self.POSITIONS_CACHE_BUDGET):
+                old = self._positions_cache.pop(next(iter(self._positions_cache)))
+                self._positions_cache_bytes -= sum(a.nbytes for a in old)
+            self._positions_cache[term] = out
+            self._positions_cache_bytes += nb
+        return out if candidates is None else _subset_positions(out, candidates)
+
+    def position_keys(self, term: str) -> np.ndarray | None:
+        """Cached composite key array ``doc * POS_KEY_STRIDE + position``
+        over the term's FULL (tombstone-masked) positional postings —
+        strictly increasing int64, the reusable operand of the hot-phrase
+        fast path (adjacency = one sorted merge of ``keysA + 1`` with
+        ``keysB``; matched docs = ``keys // POS_KEY_STRIDE``).
+
+        Returns ``None`` when positions are unavailable for the term or a
+        doc's positions exceed the stride (pathological token streams fall
+        back to the per-query candidate path)."""
+        if term in self._p_keys_cache:
+            return self._p_keys_cache[term]
+        p = self.positions(term)
+        if p is None:
+            keys = None
+        else:
+            docs, offs, flat = p
+            if flat.size and int(flat.max()) >= self.POS_KEY_STRIDE - 1:
+                keys = None
+            else:
+                keys = np.repeat(docs, np.diff(offs)) * self.POS_KEY_STRIDE + flat
+        nb = 0 if keys is None else keys.nbytes
+        if nb <= self.P_KEYS_CACHE_BUDGET:
+            while (self._p_keys_cache and
+                   self._p_keys_cache_bytes + nb > self.P_KEYS_CACHE_BUDGET):
+                old = self._p_keys_cache.pop(next(iter(self._p_keys_cache)))
+                self._p_keys_cache_bytes -= 0 if old is None else old.nbytes
+            self._p_keys_cache[term] = keys
+            self._p_keys_cache_bytes += nb
+        return keys
+
+    def _positions_selective(
+        self, term: str, docs: np.ndarray, tfs: np.ndarray,
+        lo: int, hi: int, candidates: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Seek-decode ONLY the candidate postings' positional values.
+
+        ``docs``/``tfs`` are the RAW (unmasked) postings — the stream's
+        per-posting value counts follow the physical layout. ``candidates``
+        must be sorted live doc_ids (already tombstone-masked), so the
+        result needs no delete mask. Cost: one cached high-bit scan of the
+        stream (the skip index) + a gather/decode proportional to the
+        CANDIDATES' values — not the term's df.
+        """
+        seg = self._p_data[lo:hi]
+        ends = self._p_ends_cache.get(term)
+        if ends is None:
+            # byte end-offset of every varint value (high bit clear = last
+            # byte of a value) — the derived skip structure
+            ends = np.flatnonzero((seg & 0x80) == 0).astype(np.int64)
+            if ends.nbytes <= self.P_ENDS_CACHE_BUDGET:
+                while (self._p_ends_cache and
+                       self._p_ends_cache_bytes + ends.nbytes
+                       > self.P_ENDS_CACHE_BUDGET):
+                    old = self._p_ends_cache.pop(next(iter(self._p_ends_cache)))
+                    self._p_ends_cache_bytes -= old.nbytes
+                self._p_ends_cache[term] = ends
+                self._p_ends_cache_bytes += ends.nbytes
+        idx = np.searchsorted(docs, candidates)
+        ok = idx < docs.size
+        ok[ok] = docs[idx[ok]] == candidates[ok]
+        sel = idx[ok]
+        if sel.size == 0:
+            return (np.empty(0, np.int64), np.zeros(1, np.int64),
+                    np.empty(0, np.int64))
+        vstart = np.concatenate([[0], np.cumsum(tfs)])
+        v0, v1 = vstart[sel], vstart[sel + 1]
+        bstart = np.where(v0 == 0, 0, ends[v0 - 1] + 1)
+        blen = (ends[v1 - 1] + 1) - bstart
+        total = int(blen.sum())
+        cum = np.concatenate([[0], np.cumsum(blen)[:-1]])
+        flat = (np.repeat(bstart, blen) + np.arange(total, dtype=np.int64)
+                - np.repeat(cum, blen))
+        ctfs = tfs[sel]
+        vals = varint_decode(seg[flat].tobytes(), int(ctfs.sum())).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(ctfs)])
+        starts = offsets[:-1]
+        c = np.cumsum(vals)
+        adjust = c[starts] - vals[starts]
+        pos = c - np.repeat(adjust, ctfs)
+        return docs[sel], offsets, pos
 
     @property
     def has_champions(self) -> bool:
@@ -531,6 +673,41 @@ class IndexReader:
         return out
 
 
+def sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED-UNIQUE int arrays via binary search of the
+    smaller in the larger — O(min·log max), no concat-and-sort
+    (``np.intersect1d`` re-sorts even with ``assume_unique``, which dominated
+    hot-phrase latency)."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0:
+        return a
+    idx = np.searchsorted(b, a)
+    ok = idx < b.size
+    ok[ok] = b[idx[ok]] == a[ok]
+    return a[ok]
+
+
+def _subset_positions(
+    triple: tuple[np.ndarray, np.ndarray, np.ndarray], candidates: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Restrict a decoded (docs, offsets, flat) positional triple to the
+    sorted ``candidates`` — pure gather, no re-decode (used when the full
+    triple is already in the per-reader LRU)."""
+    docs, offs, flat = triple
+    idx = np.searchsorted(docs, candidates)
+    ok = idx < docs.size
+    ok[ok] = docs[idx[ok]] == candidates[ok]
+    sel = idx[ok]
+    tfs = offs[sel + 1] - offs[sel]
+    seg = np.concatenate([[0], np.cumsum(tfs)])
+    total = int(seg[-1])
+    flat_idx = (np.repeat(offs[sel], tfs)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(seg[:-1], tfs))
+    return docs[sel], seg, flat[flat_idx]
+
+
 def phrase_intersect(
     terms: list[str],
     plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
@@ -549,13 +726,19 @@ def phrase_intersect(
     for t in terms:
         inter = (
             plists[t][0] if inter is None
-            else np.intersect1d(inter, plists[t][0])
+            else sorted_intersect(inter, plists[t][0])
         )
         if inter.size == 0:
             return empty
     K = 2 + max(
         int(plists[t][2].max()) if plists[t][2].size else 0 for t in set(terms)
     )
+    # RANK-space keys: docs are replaced by their rank in `inter`
+    # (0..|inter|), so keys fit int32 whenever |inter|·K < 2^31 — ~2× faster
+    # searchsorted/repeat on the hot pairwise intersection. Doc ids (up to
+    # 10^12) never enter the key arithmetic; int64 is the guarded fallback.
+    dt = np.int32 if inter.size * K < 2**31 - 2 else np.int64
+    ranks = np.arange(inter.size, dtype=dt)
 
     def _keys(t: str) -> np.ndarray:
         docs, offs, flat = plists[t]
@@ -568,14 +751,22 @@ def phrase_intersect(
             + np.arange(total, dtype=np.int64)
             - np.repeat(seg_starts, lens)
         )
-        return np.repeat(inter, lens) * K + flat[flat_idx]
+        return (np.repeat(ranks, lens) * dt(K)
+                + flat[flat_idx].astype(dt, copy=False))
 
+    # composite keys are strictly increasing (docs sorted, positions
+    # ascending within a doc), so every step stays a sorted-unique merge
     ends = _keys(terms[0])
     for t in terms[1:]:
-        ends = np.intersect1d(ends + 1, _keys(t))
+        ends = sorted_intersect(ends + dt(1), _keys(t))
         if ends.size == 0:
             return empty
-    return np.unique(ends // K, return_counts=True)
+    # run-length over the (sorted) matched ranks — no re-sort
+    d = ends // dt(K)
+    first = np.concatenate([[True], d[1:] != d[:-1]])
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.concatenate([starts, [d.size]]))
+    return inter[d[starts]].astype(np.int64, copy=False), counts
 
 
 def parse_query_string(query: str) -> list[tuple[str, str, str]]:
@@ -1064,11 +1255,57 @@ class Searcher:
         terms = r.tokenizer.tokenize(phrase)
         if not terms:
             return empty
+        # candidate docs first: a phrase match contains EVERY term, so the
+        # intersection of the (masked) posting doc sets — rarest list first
+        # — bounds the positional work; positions() then seek-decodes only
+        # candidate postings instead of whole hot-term streams
+        uniq = sorted(set(terms))
+        postings: dict[str, np.ndarray] = {}
+        for t in uniq:
+            d = r.postings(t)[0]
+            if d.size == 0:
+                return empty  # absent term ⇒ no match
+            postings[t] = d
+        inter: np.ndarray | None = None
+        for t in sorted(uniq, key=lambda t: postings[t].size):
+            inter = postings[t] if inter is None else sorted_intersect(
+                inter, postings[t]
+            )
+            if inter.size == 0:
+                return empty
+        if inter.size * 4 >= min(postings[t].size for t in uniq):
+            # HOT path (non-selective candidates, e.g. a Zipf-head bigram):
+            # per-term composite key arrays are cached, so the whole query
+            # is one sorted merge per adjacent term — no per-query key
+            # build or subset. Adjacency over the FULL lists is identical
+            # (a phrase match contains every term by definition).
+            keys: dict[str, np.ndarray] | None = {}
+            for t in uniq:
+                k = r.position_keys(t)
+                if k is None:
+                    keys = None  # stride overflow / field term → fallback
+                    break
+                keys[t] = k
+            if keys is not None:
+                ends = keys[terms[0]]
+                for t in terms[1:]:
+                    ends = sorted_intersect(ends + 1, keys[t])
+                    if ends.size == 0:
+                        return empty
+                d = ends // r.POS_KEY_STRIDE
+                first = np.concatenate([[True], d[1:] != d[:-1]])
+                starts = np.flatnonzero(first)
+                counts = np.diff(np.concatenate([starts, [d.size]]))
+                return d[starts], counts
         plists = {}
-        for t in set(terms):
-            p = r.positions(t)
+        for t in uniq:
+            # candidate-scoped decode only when it actually prunes — for a
+            # non-selective hot bigram the cached full triple is free and
+            # phrase_intersect subsets by `inter` itself
+            cand = inter if inter.size * 4 < postings[t].size else None
+            p = r.positions(t, candidates=cand)
             if p is None:
-                return empty  # absent term (or field term) ⇒ no match
+                return empty  # field term: postings but no token stream
             plists[t] = p
         return phrase_intersect(terms, plists)
 
