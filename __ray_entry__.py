@@ -791,7 +791,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_vec_id, rnk::INT AS rank, vec_id, round(cosine, 4) AS cosine
             FROM ranked WHERE rnk <= 5 ORDER BY query_vec_id, rnk
         """,
-        # q_langid, q_minhash_neardup, q_simhash_sample, q_fingerprints,
-        # q_ivf_overlap, q_image_pipeline: intentionally no SQL oracle
-        # (heuristic / sketch / stubbed-kernel semantics) → rows-only check.
+        # winnowing fingerprints, reproduced EXACTLY in SQL: per-token
+        # FNV-1a 64 (list_reduce fold over bytes, HUGEINT wrapping mod 2^64),
+        # rolling polynomial (acc*1000003 + h mod 2^64) over
+        # min(8, n)-token windows, masked to 63 bits (mod 2^63), per-doc
+        # distinct-sorted; fp_min = smallest, fp_count = min(#distinct, 16)
+        "q_fingerprints": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKENS} AS ts FROM documents
+            ),
+            th AS (
+                SELECT doc_id, list_transform(ts, t ->
+                    list_reduce(
+                        list_prepend(14695981039346656037::HUGEINT,
+                            list_transform(range(1, length(t) + 1),
+                                           i -> ord(substr(t, i, 1))::HUGEINT)),
+                        (acc, b) -> ((xor(acc::UBIGINT, b::UBIGINT))::HUGEINT
+                                     * 1099511628211)
+                                    % 18446744073709551616::HUGEINT)
+                ) AS hs
+                FROM toks
+            ),
+            wins AS (
+                SELECT doc_id,
+                    CASE WHEN len(hs) = 0 THEN [] ELSE
+                        list_transform(
+                            range(1, len(hs) - least(8, len(hs)) + 2), s ->
+                            (list_reduce(
+                                list_prepend(0::HUGEINT,
+                                    list_slice(hs, s, s + least(8, len(hs)) - 1)),
+                                (acc, x) -> (acc * 1000003 + x)
+                                            % 18446744073709551616::HUGEINT)
+                             % 9223372036854775808))
+                    END AS ws
+                FROM th
+            ),
+            u AS (SELECT doc_id, list_sort(list_distinct(ws)) AS us FROM wins)
+            SELECT doc_id,
+                   CASE WHEN len(us) = 0 THEN -1 ELSE us[1]::BIGINT END AS fp_min,
+                   least(len(us), 16)::BIGINT AS fp_count
+            FROM u ORDER BY doc_id
+        """,
+        # q_langid, q_minhash_neardup, q_simhash_sample, q_ivf_overlap,
+        # q_image_pipeline: intentionally no SQL oracle (heuristic / sketch
+        # / binary-decode semantics) → rows-only check.
     }

@@ -513,7 +513,10 @@ def q_simhash_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """Rolling-hash doc fingerprints (min + count; rows-only oracle)."""
+    """Rolling-hash doc fingerprints (min + count). SQL-oracle-checked:
+    the DuckDB oracle reproduces the FNV-1a token hash and the wrapping
+    uint64 window polynomial exactly via list_reduce folds in HUGEINT
+    arithmetic mod 2^64 (see __ray_entry__.oracle_sql q_fingerprints)."""
     from nmr_fair_dos_ray.pipelines.textops import doc_fingerprints
 
     docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
