@@ -200,6 +200,22 @@ class ShardActor:
         like the local engine) from 'term absent' (no match)."""
         return self.reader.has_positions
 
+    def facet_counts(self, prefix: str, matches: np.ndarray) -> list[tuple[str, int]]:
+        """Per-value match counts for the ``prefix`` facet terms THIS slot
+        owns, against the router's match set (shipped once via ray.put,
+        zero-copy here). The dictionary is term-partitioned, so the union
+        over slots is the complete, duplicate-free facet table."""
+        r = self.reader
+        out: list[tuple[str, int]] = []
+        for ft in r.terms_with_prefix(prefix):
+            docs, _ = r.postings(ft)
+            pos = np.searchsorted(matches, docs)
+            ok = pos < matches.size
+            n = int((matches[pos[ok]] == docs[ok]).sum())
+            if n:
+                out.append((ft[len(prefix):], n))
+        return out
+
 
 class ShardedSearcher:
     """Scatter-gather top-k over a :class:`ShardActor` pool."""
@@ -519,6 +535,94 @@ class ShardedSearcher:
             terms = sorted(top)
         return terms
 
+    def search_and(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Distributed conjunctive BM25 (ES ``bool.must``) — bit-equal to
+        the local :meth:`Searcher.search_and`: round 1 fetches each term's
+        doc set (small payloads) and intersects on the router; round 2
+        scores the terms scatter-gather with the intersection as the
+        ``allowed`` mask. Per-doc term scores are elementwise, so masking
+        after scoring is bit-identical to scoring the intersection."""
+        from nmr_fair_dos_ray.search.engine import sorted_intersect
+
+        terms, exact = self.tokenizer.tokenize_query(query)
+        allowed: np.ndarray | None = None
+        for t in exact:
+            docs = self._docs_of(t)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
+        if not terms:
+            if allowed is None:
+                return []
+            return [(int(d), 0.0) for d in np.sort(allowed)[:k]]
+        for t in terms:  # sorted unique (tokenize_query contract)
+            docs = self._docs_of(t)
+            if docs.size == 0:
+                return []
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
+            if allowed.size == 0:
+                return []
+        return self._score_list(terms, k, allowed)
+
+    def facet_counts(self, query: str, facet_field: str) -> list[tuple[str, int]]:
+        """Distributed terms-aggregation — bit-equal to the local
+        :meth:`Searcher.facet_counts`. The router resolves the match set
+        (union of ranked-term postings ∩ exact filters), ships it ONCE via
+        ``ray.put``, and every slot counts its OWN ``field:*`` dictionary
+        slice against the zero-copy match set in parallel; the dictionary
+        is term-partitioned so the merged table has no duplicates."""
+        from nmr_fair_dos_ray.search.engine import sorted_intersect
+
+        terms, exact = self.tokenizer.tokenize_query(query)
+        matches: np.ndarray | None = None
+        if terms:
+            parts = [p for t in terms if (p := self._docs_of(t)).size]
+            if not parts:
+                return []
+            matches = np.unique(np.concatenate(parts))
+        for t in exact:
+            docs = self._docs_of(t)
+            matches = docs if matches is None else sorted_intersect(matches, docs)
+        if matches is None or matches.size == 0:
+            return []
+        ref = ray.put(matches)
+        futs = [a.facet_counts.remote(facet_field + ":", ref) for a in self.actors]
+        out = [pair for lst in ray.get(futs) for pair in lst]
+        out.sort(key=lambda v: v[0])
+        return out
+
+    def score_map(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full (doc_ids, scores) match map of a disjunctive query — the
+        sharded analog of ``Searcher._score_map``, used by the multi-field
+        ``best_fields`` merge. Exact filters apply as an allowed mask."""
+        terms, exact = self.tokenizer.tokenize_query(query)
+        allowed: np.ndarray | None = None
+        for t in exact:
+            docs = self._docs_of(t)
+            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not terms:
+            return empty
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in terms:
+            by_actor[self._route(t)].append(t)
+        gathered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        futures = {
+            slot: self.actors[slot].score_terms.remote(ts)
+            for slot, ts in by_actor.items()
+        }
+        for slot, fut in futures.items():
+            gathered.update(ray.get(fut))
+        parts = [gathered[t] for t in terms if t in gathered and gathered[t][0].size]
+        if not parts:
+            return empty
+        uniq = np.unique(np.concatenate([d for d, _ in parts]))
+        acc = np.zeros(uniq.size, np.float64)
+        for docs, scores in parts:  # sorted term order ⇒ bit-equal to TAAT
+            acc[np.searchsorted(uniq, docs)] += scores
+        if allowed is not None:
+            m = np.isin(uniq, allowed)
+            uniq, acc = uniq[m], acc[m]
+        return uniq, acc
+
     def search_fuzzy(
         self, query: str, k: int = 10, max_edits: int = 1
     ) -> list[tuple[int, float]]:
@@ -572,3 +676,17 @@ class ShardedSearcher:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+def best_fields_search_sharded(
+    pools: list["ShardedSearcher"], query: str, k: int = 10,
+    tie_breaker: float = 0.0,
+) -> list[tuple[int, float]]:
+    """Distributed ``multi_match best_fields``: one :class:`ShardedSearcher`
+    pool per scored field (each field its own index, postings and length
+    norms), merged by per-doc dis-max — bit-equal to the local
+    :func:`engine.best_fields_search` over the same field indexes (both
+    sides produce identical per-field match maps)."""
+    from nmr_fair_dos_ray.search.engine import dismax_merge
+
+    return dismax_merge([p.score_map(query) for p in pools], k, tie_breaker)

@@ -1589,6 +1589,16 @@ def best_fields_search(
         uniq, acc = s._score_map(terms, allowed)
         if uniq.size:
             maps.append((uniq, acc))
+    return dismax_merge(maps, k, tie_breaker)
+
+
+def dismax_merge(
+    maps: list[tuple[np.ndarray, np.ndarray]], k: int, tie_breaker: float = 0.0
+) -> list[tuple[int, float]]:
+    """Dis-max merge of per-field (doc_ids, scores) match maps — shared by
+    the local and sharded ``best_fields`` paths (both produce bit-equal
+    per-field maps, so the merged ranking is bit-equal too)."""
+    maps = [(u, a) for u, a in maps if u.size]
     if not maps:
         return []
     all_docs = np.unique(np.concatenate([u for u, _ in maps]))

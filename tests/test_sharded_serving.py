@@ -37,6 +37,55 @@ def test_results_identical_to_local(sharded):
         assert s.search(q, k=10) == local.search(q, k=10, algorithm="bmw"), q
 
 
+def test_and_and_facets_identical_to_local(sharded):
+    """Sharded conjunctive search and facet counts are bit-equal to local."""
+    s, idx, sf = sharded
+    local = Searcher(IndexReader(idx))
+    queries = [r["query"] for r in pq.read_table(sf["queries"]).to_pylist()][:8]
+    for q in queries:
+        assert s.search_and(q, k=10) == local.search_and(q, k=10), q
+        assert s.facet_counts(q, "lang") == local.facet_counts(q, "lang"), q
+    # exact-filter + no-match edges
+    lv = local.r.terms_with_prefix("lang:")[0]
+    assert s.search_and(f"config {lv}", k=10) == local.search_and(
+        f"config {lv}", k=10
+    )
+    # code mode splits "zzqxnope9" into ("zzqxnope", "9") and "9" can match,
+    # so compare against local rather than asserting emptiness
+    for miss in ("zzqxnope", "zzqxnope9"):
+        assert s.search_and(miss, k=10) == local.search_and(miss, k=10)
+        assert s.facet_counts(miss, "lang") == local.facet_counts(miss, "lang")
+
+
+def test_sharded_best_fields_identical_to_local(sf_unit):
+    import shutil
+
+    from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+    from nmr_fair_dos_ray.search.distributed import best_fields_search_sharded
+    from nmr_fair_dos_ray.search.engine import best_fields_search
+
+    dirs = {}
+    for col in ("path", "lang"):
+        d = f"/tmp/nmr_fair_dos_ray/test_bf_sharded_{col}"
+        shutil.rmtree(d, ignore_errors=True)
+        build_index(sf_unit["corpus"], d, IndexConfig(
+            token_cols=(col,), field_cols=("repo",), stored_cols=("repo",),
+            num_shards=4,
+        ))
+        dirs[col] = d
+    locals_ = [Searcher(IndexReader(dirs[c])) for c in ("path", "lang")]
+    pools = [ShardedSearcher(dirs[c], pool_size=2) for c in ("path", "lang")]
+    try:
+        for q in ("config python merge", "def return", "zzqxnope"):
+            for tb in (0.0, 0.3):
+                assert best_fields_search_sharded(
+                    pools, q, k=20, tie_breaker=tb
+                ) == best_fields_search(locals_, q, k=20, tie_breaker=tb), (q, tb)
+    finally:
+        for p in pools:
+            p.shutdown()
+
+
 def test_search_after_pages_identical_to_local(sharded):
     """Sharded cursor pagination is bit-equal to the local engine page by
     page, and a local cursor resumes on the pool (stateless cursors)."""
