@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_sample": dp.q_simhash_sample,
         "q_simhash_neardup": dp.q_simhash_neardup,
         "q_fingerprints": dp.q_fingerprints,
+        "q_ngram_jaccard": dp.q_ngram_jaccard,
         "q_pid_mint": dp.q_pid_mint,
         "q_embed_neardup": dp.q_embed_neardup,
         # similarity search
@@ -831,6 +832,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(us) = 0 THEN -1 ELSE us[1]::BIGINT END AS fp_min,
                    least(len(us), 16)::BIGINT AS fp_count
             FROM u ORDER BY doc_id
+        """,
+        # exact n-gram Jaccard per adjacent doc pair: Jaccard over distinct
+        # n-gram STRING sets (the kernel uses FNV hash sets — identical
+        # unless FNV collides within a pair)
+        "q_ngram_jaccard": f"""
+            WITH d AS (
+                SELECT doc_id, doc_id // 2 AS pair_id, {_TOKENS} AS ts
+                FROM documents WHERE doc_id < 200
+            ),
+            g AS (
+                SELECT doc_id, pair_id,
+                    CASE WHEN len(ts) = 0 THEN [] ELSE
+                        list_distinct(list_transform(
+                            range(1, len(ts) - least(3, len(ts)) + 2),
+                            s -> array_to_string(
+                                list_slice(ts, s, s + least(3, len(ts)) - 1),
+                                ' ')))
+                    END AS sh3,
+                    list_distinct(ts) AS sh1
+                FROM d
+            ),
+            p AS (
+                SELECT a.pair_id,
+                       len(list_intersect(a.sh3, b.sh3)) AS i3,
+                       len(a.sh3) + len(b.sh3)
+                           - len(list_intersect(a.sh3, b.sh3)) AS u3,
+                       len(list_intersect(a.sh1, b.sh1)) AS i1,
+                       len(a.sh1) + len(b.sh1)
+                           - len(list_intersect(a.sh1, b.sh1)) AS u1
+                FROM g a JOIN g b
+                  ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id
+            )
+            SELECT pair_id,
+                   round(CASE WHEN u3 = 0 THEN 1.0 ELSE i3 * 1.0 / u3 END, 4)
+                       AS jaccard3,
+                   round(CASE WHEN u1 = 0 THEN 1.0 ELSE i1 * 1.0 / u1 END, 4)
+                       AS jaccard1
+            FROM p ORDER BY pair_id
         """,
         # q_langid, q_minhash_neardup, q_simhash_sample, q_ivf_overlap,
         # q_image_pipeline: intentionally no SQL oracle (heuristic / sketch

@@ -526,6 +526,48 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     return fps[["doc_id", "fp_min", "fp_count"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard (the dedup family's verification kernel,
+    `dedup.ngram_jaccard`) over adjacent doc pairs — word-trigram AND
+    unigram similarity per pair (trigrams are ~0 on this synthetic corpus;
+    unigrams exercise real nonzero values). Distributed shape: one
+    hash-partitioned groupby on pair_id, exact kernel per group — the same
+    per-pair verify shape the MinHash pipeline uses at scale.
+
+    SQL-oracle-checked: the DuckDB oracle computes Jaccard over distinct
+    n-gram STRING sets; the kernel uses FNV shingle-hash sets — equal
+    unless FNV collides inside a doc pair (none in the testdata; the
+    driver's value-hash check would surface one)."""
+    from nmr_fair_dos_ray.pipelines.dedup import ngram_jaccard
+
+    docs = (
+        sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        .filter(expr="doc_id < 200")
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("pair_id", pa.array(ids // 2, pa.int64()))
+
+    def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        texts = df["text"].tolist()
+        a, b = texts[0], texts[1] if len(texts) > 1 else texts[0]
+        return pd.DataFrame({
+            "pair_id": [int(df["pair_id"].iloc[0])],
+            "jaccard3": [round_half_away(ngram_jaccard(a, b, 3), 4)],
+            "jaccard1": [round_half_away(ngram_jaccard(a, b, 1), 4)],
+        })
+
+    out = (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(pair_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("pair_id").reset_index(drop=True)
+
+
 # -------------------------------------------------------------------- ANN
 N_ANN_QUERIES = 8
 ANN_K = 5
