@@ -552,7 +552,13 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     def pair_kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id")
         texts = df["text"].tolist()
-        a, b = texts[0], texts[1] if len(texts) > 1 else texts[0]
+        if len(texts) < 2:  # unpaired last doc: no pair, no row (oracle
+            return pd.DataFrame({  # joins a.doc_id < b.doc_id — same gap)
+                "pair_id": pd.Series(dtype="int64"),
+                "jaccard3": pd.Series(dtype="float64"),
+                "jaccard1": pd.Series(dtype="float64"),
+            })
+        a, b = texts[0], texts[1]
         return pd.DataFrame({
             "pair_id": [int(df["pair_id"].iloc[0])],
             "jaccard3": [round_half_away(ngram_jaccard(a, b, 3), 4)],

@@ -301,10 +301,16 @@ def resolve_edges(edges: Dataset, records: Dataset, mode: str = "auto") -> Datas
     if mode == "join":
         return resolve_edges_join(edges, records)
 
-    pids_t = records.groupby("pid").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    # materialize the (small, aggregated) lookup-side projections once —
+    # the auto gate's count() and the broadcast build below then reuse the
+    # same blocks instead of re-running the groupby/filter
+    pids_t = (
+        records.groupby("pid").aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"]).materialize()
+    )
     loc_rows = records.filter(
         expr=f"key == '{KEY_DIGITAL_OBJECT_LOCATION}'"
-    ).select_columns(["pid", "value_json"])
+    ).select_columns(["pid", "value_json"]).materialize()
     if mode == "auto":
         n_keys = pids_t.count() + loc_rows.count()
         if n_keys > RESOLVE_BROADCAST_MAX_KEYS:

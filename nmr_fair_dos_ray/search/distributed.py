@@ -205,13 +205,13 @@ class ShardActor:
         owns, against the router's match set (shipped once via ray.put,
         zero-copy here). The dictionary is term-partitioned, so the union
         over slots is the complete, duplicate-free facet table."""
+        from nmr_fair_dos_ray.search.engine import sorted_lookup
+
         r = self.reader
         out: list[tuple[str, int]] = []
         for ft in r.terms_with_prefix(prefix):
             docs, _ = r.postings(ft)
-            pos = np.searchsorted(matches, docs)
-            ok = pos < matches.size
-            n = int((matches[pos[ok]] == docs[ok]).sum())
+            n = int(sorted_lookup(docs, matches)[1].sum())
             if n:
                 out.append((ft[len(prefix):], n))
         return out
@@ -271,10 +271,11 @@ class ShardedSearcher:
     def search(self, query: str, k: int = 10,
                prune: bool = True) -> list[tuple[int, float]]:
         terms, exact = self.tokenizer.tokenize_query(query)
-        # exact filters route like any term
+        # exact filters route like any term — one RPC wave for all of them
+        docs_of = self._docs_of_many(exact) if exact else {}
         allowed: np.ndarray | None = None
         for t in exact:
-            docs = ray.get(self.actors[self._route(t)].exact_docs.remote(t))
+            docs = docs_of[t]
             allowed = docs if allowed is None else np.intersect1d(allowed, docs)
         if not terms:
             if allowed is None:
@@ -335,6 +336,15 @@ class ShardedSearcher:
         """Posting doc_ids of one term from its owning actor (masked)."""
         return ray.get(self.actors[self._route(term)].exact_docs.remote(term))
 
+    def _docs_of_many(self, terms: list[str]) -> dict[str, np.ndarray]:
+        """Posting doc_ids for MANY terms — all RPCs launched before any
+        gather, so a k-term constraint costs one round trip, not k (each
+        actor RTT is ~6 ms on the bench VM)."""
+        futs = {t: self.actors[self._route(t)].exact_docs.remote(t)
+                for t in dict.fromkeys(terms)}
+        got = ray.get(list(futs.values()))
+        return dict(zip(futs.keys(), got))
+
     def _score_list(
         self, terms: list[str], k: int, allowed: np.ndarray | None = None,
         forbidden: np.ndarray | None = None,
@@ -373,9 +383,10 @@ class ShardedSearcher:
         router-side after the scatter-gather merge). Stateless: a cursor
         from a local page resumes on the pool and vice versa."""
         terms, exact = self.tokenizer.tokenize_query(query)
+        docs_of = self._docs_of_many(exact) if exact else {}
         allowed: np.ndarray | None = None
         for t in exact:
-            docs = ray.get(self.actors[self._route(t)].exact_docs.remote(t))
+            docs = docs_of[t]
             allowed = docs if allowed is None else np.intersect1d(allowed, docs)
         return self._score_list(terms, k, allowed, after=after)
 
@@ -413,15 +424,11 @@ class ShardedSearcher:
         postings = {t: ray.get(f) for t, f in dfuts.items()}
         if any(d.size == 0 for d in postings.values()):
             return empty
-        from nmr_fair_dos_ray.search.engine import sorted_intersect
+        from nmr_fair_dos_ray.search.engine import intersect_doc_sets
 
-        inter: np.ndarray | None = None
-        for t in sorted(uniq, key=lambda t: postings[t].size):
-            inter = postings[t] if inter is None else sorted_intersect(
-                inter, postings[t]
-            )
-            if inter.size == 0:
-                return empty
+        inter = intersect_doc_sets(postings)
+        if inter.size == 0:
+            return empty
         futs = {
             t: self.actors[self._route(t)].positions.remote(t, inter)
             for t in uniq
@@ -545,16 +552,17 @@ class ShardedSearcher:
         from nmr_fair_dos_ray.search.engine import sorted_intersect
 
         terms, exact = self.tokenizer.tokenize_query(query)
+        docs_of = self._docs_of_many(exact + terms)  # one RPC wave
         allowed: np.ndarray | None = None
         for t in exact:
-            docs = self._docs_of(t)
+            docs = docs_of[t]
             allowed = docs if allowed is None else sorted_intersect(allowed, docs)
         if not terms:
             if allowed is None:
                 return []
             return [(int(d), 0.0) for d in np.sort(allowed)[:k]]
         for t in terms:  # sorted unique (tokenize_query contract)
-            docs = self._docs_of(t)
+            docs = docs_of[t]
             if docs.size == 0:
                 return []
             allowed = docs if allowed is None else sorted_intersect(allowed, docs)
@@ -572,14 +580,15 @@ class ShardedSearcher:
         from nmr_fair_dos_ray.search.engine import sorted_intersect
 
         terms, exact = self.tokenizer.tokenize_query(query)
+        docs_of = self._docs_of_many(terms + exact)  # one RPC wave
         matches: np.ndarray | None = None
         if terms:
-            parts = [p for t in terms if (p := self._docs_of(t)).size]
+            parts = [p for t in terms if (p := docs_of[t]).size]
             if not parts:
                 return []
             matches = np.unique(np.concatenate(parts))
         for t in exact:
-            docs = self._docs_of(t)
+            docs = docs_of[t]
             matches = docs if matches is None else sorted_intersect(matches, docs)
         if matches is None or matches.size == 0:
             return []

@@ -499,6 +499,9 @@ class IndexReader:
             return None
         hit = self._positions_cache.get(term)
         if hit is not None:
+            # true LRU, not FIFO: refresh recency so a term hit on every
+            # query isn't evicted just because it was inserted early
+            self._positions_cache[term] = self._positions_cache.pop(term)
             return hit if candidates is None else _subset_positions(hit, candidates)
         tid = self._lookup(term)
         if tid is None:
@@ -560,7 +563,9 @@ class IndexReader:
         doc's positions exceed the stride (pathological token streams fall
         back to the per-query candidate path)."""
         if term in self._p_keys_cache:
-            return self._p_keys_cache[term]
+            keys = self._p_keys_cache.pop(term)  # LRU: refresh recency
+            self._p_keys_cache[term] = keys
+            return keys
         p = self.positions(term)
         if p is None:
             keys = None
@@ -595,6 +600,8 @@ class IndexReader:
         """
         seg = self._p_data[lo:hi]
         ends = self._p_ends_cache.get(term)
+        if ends is not None:
+            self._p_ends_cache[term] = self._p_ends_cache.pop(term)  # LRU
         if ends is None:
             # byte end-offset of every varint value (high bit clear = last
             # byte of a value) — the derived skip structure
@@ -607,9 +614,7 @@ class IndexReader:
                     self._p_ends_cache_bytes -= old.nbytes
                 self._p_ends_cache[term] = ends
                 self._p_ends_cache_bytes += ends.nbytes
-        idx = np.searchsorted(docs, candidates)
-        ok = idx < docs.size
-        ok[ok] = docs[idx[ok]] == candidates[ok]
+        idx, ok = sorted_lookup(candidates, docs)
         sel = idx[ok]
         if sel.size == 0:
             return (np.empty(0, np.int64), np.zeros(1, np.int64),
@@ -673,6 +678,17 @@ class IndexReader:
         return out
 
 
+def sorted_lookup(a: np.ndarray, sorted_b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For each element of ``a``: its searchsorted position in sorted-unique
+    ``sorted_b`` and whether it is actually present — the shared
+    sorted-membership primitive behind intersection, positional subsetting
+    and facet counting."""
+    idx = np.searchsorted(sorted_b, a)
+    ok = idx < sorted_b.size
+    ok[ok] = sorted_b[idx[ok]] == a[ok]
+    return idx, ok
+
+
 def sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Intersection of two SORTED-UNIQUE int arrays via binary search of the
     smaller in the larger — O(min·log max), no concat-and-sort
@@ -682,10 +698,31 @@ def sorted_intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         a, b = b, a
     if a.size == 0:
         return a
-    idx = np.searchsorted(b, a)
-    ok = idx < b.size
-    ok[ok] = b[idx[ok]] == a[ok]
+    _, ok = sorted_lookup(a, b)
     return a[ok]
+
+
+def intersect_doc_sets(postings: dict[str, np.ndarray]) -> np.ndarray:
+    """Rarest-list-first intersection of per-term doc sets — shared by the
+    local and sharded phrase candidate resolution. Empty result short-
+    circuits."""
+    inter: np.ndarray | None = None
+    for t in sorted(postings, key=lambda t: postings[t].size):
+        inter = postings[t] if inter is None else sorted_intersect(
+            inter, postings[t]
+        )
+        if inter.size == 0:
+            return inter
+    return inter
+
+
+def run_length(sorted_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(distinct values, run counts) of an already-sorted array — no
+    re-sort (``np.unique`` sorts again)."""
+    first = np.concatenate([[True], sorted_vals[1:] != sorted_vals[:-1]])
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.concatenate([starts, [sorted_vals.size]]))
+    return sorted_vals[starts], counts
 
 
 def _subset_positions(
@@ -695,9 +732,7 @@ def _subset_positions(
     sorted ``candidates`` — pure gather, no re-decode (used when the full
     triple is already in the per-reader LRU)."""
     docs, offs, flat = triple
-    idx = np.searchsorted(docs, candidates)
-    ok = idx < docs.size
-    ok[ok] = docs[idx[ok]] == candidates[ok]
+    idx, ok = sorted_lookup(candidates, docs)
     sel = idx[ok]
     tfs = offs[sel + 1] - offs[sel]
     seg = np.concatenate([[0], np.cumsum(tfs)])
@@ -762,11 +797,8 @@ def phrase_intersect(
         if ends.size == 0:
             return empty
     # run-length over the (sorted) matched ranks — no re-sort
-    d = ends // dt(K)
-    first = np.concatenate([[True], d[1:] != d[:-1]])
-    starts = np.flatnonzero(first)
-    counts = np.diff(np.concatenate([starts, [d.size]]))
-    return inter[d[starts]].astype(np.int64, copy=False), counts
+    ranks_m, counts = run_length(ends // dt(K))
+    return inter[ranks_m].astype(np.int64, copy=False), counts
 
 
 def parse_query_string(query: str) -> list[tuple[str, str, str]]:
@@ -1266,13 +1298,9 @@ class Searcher:
             if d.size == 0:
                 return empty  # absent term ⇒ no match
             postings[t] = d
-        inter: np.ndarray | None = None
-        for t in sorted(uniq, key=lambda t: postings[t].size):
-            inter = postings[t] if inter is None else sorted_intersect(
-                inter, postings[t]
-            )
-            if inter.size == 0:
-                return empty
+        inter = intersect_doc_sets(postings)
+        if inter.size == 0:
+            return empty
         if inter.size * 4 >= min(postings[t].size for t in uniq):
             # HOT path (non-selective candidates, e.g. a Zipf-head bigram):
             # per-term composite key arrays are cached, so the whole query
@@ -1292,11 +1320,7 @@ class Searcher:
                     ends = sorted_intersect(ends + 1, keys[t])
                     if ends.size == 0:
                         return empty
-                d = ends // r.POS_KEY_STRIDE
-                first = np.concatenate([[True], d[1:] != d[:-1]])
-                starts = np.flatnonzero(first)
-                counts = np.diff(np.concatenate([starts, [d.size]]))
-                return d[starts], counts
+                return run_length(ends // r.POS_KEY_STRIDE)
         plists = {}
         for t in uniq:
             # candidate-scoped decode only when it actually prunes — for a

@@ -417,17 +417,22 @@ def decode_mjpeg_frames(
         raise ValueError("not an MJPEG payload (AVI or concatenated JFIF)")
     frames: list[np.ndarray] = []
     w = h = None
-    for fi, jpg in enumerate(it):
-        if fi % every_nth:
-            continue
-        img = decode_jpeg(jpg)
-        if w is None:
-            h, w = img.shape[:2]
-        elif img.shape[:2] != (h, w):
-            raise ValueError("inconsistent frame dimensions in MJPEG stream")
-        frames.append(_luma_of(img))
-        if max_frames is not None and len(frames) >= max_frames:
-            break
+    try:
+        for fi, jpg in enumerate(it):
+            if fi % every_nth:
+                continue
+            img = decode_jpeg(jpg)
+            if w is None:
+                h, w = img.shape[:2]
+            elif img.shape[:2] != (h, w):
+                raise ValueError("inconsistent frame dimensions in MJPEG stream")
+            frames.append(_luma_of(img))
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+    except (struct.error, IndexError) as e:
+        # truncated container / lying chunk sizes → dead-letter, not a
+        # task crash (the M17 pattern; same wrap as stages/jpeg.py)
+        raise ValueError(f"malformed MJPEG container: {e}") from e
     if w is None:
         raise ValueError("MJPEG stream contains no frames")
     return np.stack(frames), w, h

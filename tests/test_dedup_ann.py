@@ -504,6 +504,26 @@ def test_mjpeg_avi_roundtrip():
     np.testing.assert_array_equal(a0, got[:2].ravel())
 
 
+def test_mjpeg_malformed_payloads_dead_letter_not_crash():
+    """Truncated containers / lying chunk sizes must dead-letter the row
+    (decoded=False), never escape as struct.error and kill the task."""
+    import struct
+
+    from nmr_fair_dos_ray.stages.multimodal import VideoFrameSampleStage
+
+    bad = [
+        b"\xff\xd8\xff\xdb",                     # SOI + DQT, length missing
+        b"RIFF" + struct.pack("<I", 100) + b"AVI LIST"
+        + struct.pack("<I", 50) + b"movi00dc\x01",  # lying sizes, short data
+        b"\xff\xd8\xff",                          # dangling marker byte
+        b"RIFF\x04\x00\x00\x00AVI ",               # no movi list
+    ]
+    t = pa.table({"payload": pa.array(bad, pa.binary())})
+    out = VideoFrameSampleStage(every_nth=1, max_frames=2)(t)
+    assert out["decoded"].to_pylist() == [False] * len(bad)
+    assert out["n_frames"].to_pylist() == [0] * len(bad)
+
+
 def test_mjpeg_rgb_and_synth_determinism():
     from nmr_fair_dos_ray.stages.multimodal import (
         decode_mjpeg_frames, encode_mjpeg_avi, synth_mjpeg_avi,

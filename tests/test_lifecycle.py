@@ -161,6 +161,10 @@ def test_tombstone_segments_are_immutable_and_race_safe(idx, monkeypatch):
     assert opens.count(segs[0]) + opens.count(segs[1]) == 2  # 2nd call: 0 opens
     monkeypatch.undo()
 
+    # half-open ranges: either bound may be omitted
+    assert np.array_equal(read_tombstones(DIR, lo=3), [5, 9])
+    assert np.array_equal(read_tombstones(DIR, hi=2), [1, 2])
+
     # compaction race: snapshot, then a "concurrent" delete, then the
     # snapshot-scoped clear compact_index performs — the late delete survives
     snap = tombstone_segments(DIR)
