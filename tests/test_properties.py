@@ -100,3 +100,127 @@ def test_builder_dedup_invariants(entries):
         expected_first.setdefault((k, v), n)
     for _, k, n, v in rows:
         assert n == expected_first[(k, v)]
+
+
+# ------------------------------------------------ phrase kernel invariants
+def _random_plists(rng, n_terms, n_docs, max_tf):
+    """Random positional triples per term over a shared doc space."""
+    plists = {}
+    for t in range(n_terms):
+        docs = np.flatnonzero(rng.random(n_docs) < 0.6).astype(np.int64)
+        if docs.size == 0:
+            docs = np.array([0], np.int64)
+        offs = [0]
+        flat = []
+        for _ in docs:
+            k = rng.randint(1, max_tf + 1)
+            pos = np.sort(rng.choice(40, size=k, replace=False)).astype(np.int64)
+            flat.extend(pos.tolist())
+            offs.append(offs[-1] + k)
+        plists[f"t{t}"] = (
+            docs, np.array(offs, np.int64), np.array(flat, np.int64)
+        )
+    return plists
+
+
+def _brute_phrase_matches(terms, plists):
+    """Per-doc adjacency count by direct set walking."""
+    sets = {
+        t: {
+            int(d): set(
+                plists[t][2][plists[t][1][i]:plists[t][1][i + 1]].tolist()
+            )
+            for i, d in enumerate(plists[t][0])
+        }
+        for t in set(terms)
+    }
+    out = {}
+    docs_all = set.intersection(*[set(s.keys()) for s in sets.values()])
+    for d in docs_all:
+        n = sum(
+            1
+            for p0 in sets[terms[0]][d]
+            if all(p0 + j in sets[terms[j]][d] for j in range(1, len(terms)))
+        )
+        if n:
+            out[d] = n
+    return out
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=40, deadline=None)
+def test_phrase_intersect_matches_bruteforce(seed, n_terms, max_tf):
+    from nmr_fair_dos_ray.search.engine import phrase_intersect
+
+    rng = np.random.RandomState(seed)
+    plists = _random_plists(rng, n_terms, n_docs=12, max_tf=max_tf)
+    terms = [f"t{rng.randint(0, n_terms)}" for _ in range(n_terms)]
+    want = _brute_phrase_matches(terms, plists)
+    docs_m, counts = phrase_intersect(terms, plists)
+    assert dict(zip(docs_m.tolist(), counts.tolist())) == want
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=40, deadline=None)
+def test_composite_key_hot_path_matches_phrase_intersect(seed, n_terms):
+    """The cached-key fast path (doc*K+pos chains + run_length) must equal
+    phrase_intersect for any positional layout."""
+    from nmr_fair_dos_ray.search.engine import (
+        phrase_intersect, run_length, sorted_intersect,
+    )
+
+    rng = np.random.RandomState(seed)
+    plists = _random_plists(rng, n_terms, n_docs=10, max_tf=3)
+    terms = [f"t{rng.randint(0, n_terms)}" for _ in range(n_terms)]
+    K = 1 << 22
+    keys = {
+        t: np.repeat(d, np.diff(o)) * K + f
+        for t, (d, o, f) in plists.items()
+    }
+    ends = keys[terms[0]]
+    for t in terms[1:]:
+        ends = sorted_intersect(ends + 1, keys[t])
+    want = phrase_intersect(terms, plists)
+    if ends.size == 0:
+        assert want[0].size == 0
+    else:
+        got = run_length(ends // K)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_subset_positions_equals_manual_filter(seed):
+    from nmr_fair_dos_ray.search.engine import _subset_positions
+
+    rng = np.random.RandomState(seed)
+    plists = _random_plists(rng, 1, n_docs=15, max_tf=4)
+    docs, offs, flat = plists["t0"]
+    cand = np.flatnonzero(rng.random(20) < 0.4).astype(np.int64)
+    sd, so, sf = _subset_positions((docs, offs, flat), cand)
+    kept = [i for i, d in enumerate(docs) if d in set(cand.tolist())]
+    assert sd.tolist() == [int(docs[i]) for i in kept]
+    want_flat = np.concatenate(
+        [flat[offs[i]:offs[i + 1]] for i in kept]
+    ) if kept else np.empty(0, np.int64)
+    np.testing.assert_array_equal(sf, want_flat)
+    assert so.tolist() == np.concatenate(
+        [[0], np.cumsum([offs[i + 1] - offs[i] for i in kept])]
+    ).tolist()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=500), max_size=80),
+       st.lists(st.integers(min_value=0, max_value=500), max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_sorted_intersect_equals_numpy(a, b):
+    from nmr_fair_dos_ray.search.engine import sorted_intersect
+
+    aa = np.unique(np.array(a, np.int64))
+    bb = np.unique(np.array(b, np.int64))
+    np.testing.assert_array_equal(
+        sorted_intersect(aa, bb), np.intersect1d(aa, bb)
+    )
