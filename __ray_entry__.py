@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snippets": dp.q_snippets,
         "q_search_page2": dp.q_search_page2,
         "q_search_facets": dp.q_search_facets,
+        "q_facet_stats": dp.q_facet_stats,
         "q_best_fields": dp.q_best_fields,
         # text analysis / training-data ops
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
@@ -732,6 +733,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE term IN ('data', 'pipeline', 'query')
             )
             SELECT d.lang, count(*) AS n_docs
+            FROM documents d JOIN m USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        # terms-agg with a stats sub-agg: count + sum + avg of n_chars per
+        # lang over the BM25 query's match set
+        "q_facet_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            m AS (
+                SELECT DISTINCT doc_id FROM toks
+                WHERE term IN ('data', 'pipeline', 'query')
+            )
+            SELECT d.lang, count(*)::BIGINT AS n_docs,
+                   sum(d.n_chars)::BIGINT AS sum_n_chars,
+                   round(sum(d.n_chars) * 1.0 / count(*), 4) AS avg_n_chars
             FROM documents d JOIN m USING (doc_id)
             GROUP BY d.lang ORDER BY d.lang
         """,

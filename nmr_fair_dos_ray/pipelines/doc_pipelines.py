@@ -388,6 +388,63 @@ def q_search_facets(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def facet_metric_stats(
+    sf_dir: str, query: str, facet_col: str, metric_col: str,
+) -> pd.DataFrame:
+    """ES terms-aggregation WITH a metric sub-aggregation (count + sum +
+    avg of a stored numeric column per facet value) over a query's match
+    set — the `aggs: {terms: {...}, aggs: {stats: {...}}}` analog.
+
+    Distributed shape: the match set resolves from the index (one sorted
+    doc_id array), broadcasts once via ``ray.put``; a column-pruned read of
+    the document table filters each batch by vectorized sorted membership
+    and a small groupby on the facet column computes the metrics — the
+    metric scan never leaves the cluster; the driver sees only per-value
+    rows."""
+    import ray
+
+    from nmr_fair_dos_ray.search.engine import sorted_lookup
+
+    s = Searcher(IndexReader(documents_index(sf_dir)))
+    matches = s.match_set(query)
+    ref = ray.put(matches)
+
+    class MatchFilter:
+        def __init__(self):
+            self.m = ray.get(ref)  # zero-copy, once per actor
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            _, ok = sorted_lookup(ids, self.m)
+            return b.filter(pa.array(ok))
+
+    agg = (
+        sized_read_parquet(
+            _t(sf_dir, "documents"), columns=["doc_id", facet_col, metric_col]
+        )
+        .map_batches(MatchFilter, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(facet_col)
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum(metric_col, alias_name=f"sum_{metric_col}"),
+        )
+    )
+    df = agg.to_pandas().sort_values(facet_col).reset_index(drop=True)
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df[f"sum_{metric_col}"] = df[f"sum_{metric_col}"].astype("int64")
+    df[f"avg_{metric_col}"] = [
+        round_half_away(sv / nv, 4)
+        for sv, nv in zip(df[f"sum_{metric_col}"], df["n_docs"])
+    ]
+    return df
+
+
+def q_facet_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-language count + sum + avg of n_chars over the BM25 query's
+    match set (terms-agg with a stats sub-agg)."""
+    return facet_metric_stats(sf_dir, BM25_QUERY, "lang", "n_chars")
+
+
 # --------------------------------------------------------------- text ops
 def q_token_stats_by_lang(sf_dir: str) -> pd.DataFrame:
     from nmr_fair_dos_ray.pipelines.textops import token_counts_per_doc

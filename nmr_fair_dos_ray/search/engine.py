@@ -1334,6 +1334,26 @@ class Searcher:
         return phrase_intersect(terms, plists)
 
     # ---------------------------------------------------------------- facets
+    def match_set(self, query: str) -> np.ndarray:
+        """Sorted doc_ids MATCHING the analyzed query: union of the ranked
+        terms' postings ∩ exact ``field:value`` filters — the candidate set
+        behind facet counts and metric aggregations (the ES query context
+        without scoring). Empty array when nothing matches."""
+        r = self.r
+        terms, exact = r.tokenizer.tokenize_query(query)
+        allowed = self._exact_candidates(exact)
+        matches: np.ndarray | None = None
+        if terms:
+            parts = [p for t in terms if (p := r.postings(t)[0]).size]
+            if not parts:
+                return np.empty(0, np.int64)
+            matches = np.unique(np.concatenate(parts))
+        if allowed is not None:
+            matches = allowed if matches is None else np.intersect1d(matches, allowed)
+        if matches is None:
+            return np.empty(0, np.int64)
+        return matches
+
     def facet_counts(self, query: str, facet_field: str) -> list[tuple[str, int]]:
         """Matching-doc counts per value of an exact field (the ES terms-
         aggregation analog; the reference's repository-level rollups run as
@@ -1343,18 +1363,8 @@ class Searcher:
         doc-store scan). Returns ``[(value, n_docs)]`` sorted by value.
         """
         r = self.r
-        terms, exact = r.tokenizer.tokenize_query(query)
-        allowed = self._exact_candidates(exact)
-        matches: np.ndarray | None = None
-        if terms:
-            parts = [r.postings(t)[0] for t in terms]
-            parts = [p for p in parts if p.size]
-            if not parts:
-                return []
-            matches = np.unique(np.concatenate(parts))
-        if allowed is not None:
-            matches = allowed if matches is None else np.intersect1d(matches, allowed)
-        if matches is None or matches.size == 0:
+        matches = self.match_set(query)
+        if matches.size == 0:
             return []
         prefix = facet_field + ":"
         out: list[tuple[str, int]] = []
