@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_top10": dp.q_bm25_top10,
         "q_exact_lookup": dp.q_exact_lookup,
         "q_phrase_search": dp.q_phrase_search,
+        "q_near_search": dp.q_near_search,
         "q_and_search": dp.q_and_search,
         "q_delete_search": dp.q_delete_search,
         "q_prefix_search": dp.q_prefix_search,
@@ -688,6 +689,27 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.term = 'slow' AND b.term = 'query'
                 GROUP BY a.doc_id
                 ORDER BY n_occur DESC, a.doc_id LIMIT 10
+            )
+        """,
+        # ordered proximity: 'slow' then 'query' with gap <= slop+1 = 3;
+        # n_chains counts distinct end positions (any-choice chains — the
+        # EXISTS-join semantics near_intersect's reachable-set DP computes)
+        "q_near_search": f"""
+            WITH docs AS (
+                SELECT doc_id, {_TOKENS} AS l FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+                FROM docs
+            )
+            SELECT doc_id, n_chains FROM (
+                SELECT b.doc_id AS doc_id, count(DISTINCT b.pos) AS n_chains
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos <= a.pos + 3
+                WHERE a.term = 'slow' AND b.term = 'query'
+                GROUP BY b.doc_id
+                ORDER BY n_chains DESC, b.doc_id LIMIT 10
             )
         """,
         "q_and_search": f"""

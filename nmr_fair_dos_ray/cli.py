@@ -78,6 +78,8 @@ def cmd_search(args: argparse.Namespace) -> int:
         hits = s.search_and(args.query, k=args.k)
     elif mode == "phrase":
         hits = s.search_phrase(args.query, k=args.k)
+    elif mode == "near":
+        hits = s.search_near(args.query, k=args.k, slop=args.slop)
     elif mode == "prefix":
         hits = s.search_prefix(args.query, k=args.k)
     elif mode == "fuzzy":
@@ -155,13 +157,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--algorithm", choices=("bmw", "taat"), default="bmw")
     s.add_argument(
         "--mode",
-        choices=("bm25", "and", "phrase", "prefix", "fuzzy", "query"),
+        choices=("bm25", "and", "phrase", "near", "prefix", "fuzzy", "query"),
         default="bm25",
         help="query type: ranked disjunction, conjunctive, exact phrase, "
-             "prefix expansion, fuzzy (Levenshtein) expansion, or the full "
-             "query-string grammar",
+             "ordered proximity (--slop), prefix expansion, fuzzy "
+             "(Levenshtein) expansion, or the full query-string grammar",
     )
     s.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
+    s.add_argument("--slop", type=int, default=0,
+                   help="near mode: max extra tokens per consecutive gap")
     s.set_defaults(fn=cmd_search)
 
     d = sub.add_parser(

@@ -362,6 +362,19 @@ def q_phrase_search(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_near_search(sf_dir: str) -> pd.DataFrame:
+    """Ordered proximity top-10 (ES match_phrase + slop analog with
+    documented any-choice chain semantics): the phrase terms in order with
+    each gap ≤ slop+1 tokens; count = distinct chain end positions. SQL
+    oracle: EXISTS-joined position inequalities (__ray_entry__)."""
+    idx = documents_index(sf_dir, positions=True)
+    s = Searcher(IndexReader(idx))
+    hits = s.search_near(PHRASE_QUERY, k=10, slop=2)
+    return pd.DataFrame(
+        {"doc_id": [d for d, _ in hits], "n_chains": [n for _, n in hits]}
+    )
+
+
 def q_and_search(sf_dir: str) -> pd.DataFrame:
     """Conjunctive BM25 top-10 (ES bool.must analog): docs containing ALL
     query terms, scored identically to the disjunctive engine."""

@@ -390,17 +390,19 @@ class ShardedSearcher:
             allowed = docs if allowed is None else np.intersect1d(allowed, docs)
         return self._score_list(terms, k, allowed, after=after)
 
-    def _phrase_match(self, phrase: str) -> tuple[np.ndarray, np.ndarray]:
-        """Distributed phrase resolution: fetch each analyzed term's
-        positional postings from its owning actor (one RPC per unique term,
-        payload = that term's lists only), intersect locally with the same
-        pure array math as the local engine (`phrase_intersect`).
+    def _positional_plists(self, phrase: str):
+        """(plists, analyzed terms) for the positional kernels, or
+        ``(None, terms)`` when the phrase cannot match. Two rounds: doc
+        sets only (small payloads) → candidate intersection, then
+        candidate-scoped positional fetches — decode and payload
+        proportional to candidates, not hot-term df (same skip-decode as
+        the local engine, so results stay bit-equal).
 
         Raises ``ValueError`` (same message contract as the local
         ``Searcher._phrase_match``) when the index was built without
         ``store_positions`` — a missing positional stream is a
         configuration error, not an empty result."""
-        from nmr_fair_dos_ray.search.engine import phrase_intersect
+        from nmr_fair_dos_ray.search.engine import intersect_doc_sets
 
         if self._has_positions is None:
             self._has_positions = bool(
@@ -411,24 +413,17 @@ class ShardedSearcher:
                 "index was built without store_positions=True; phrase search "
                 "needs positional postings"
             )
-        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         terms = self.tokenizer.tokenize(phrase)
         if not terms:
-            return empty
+            return None, terms
         uniq = sorted(set(terms))
-        # round 1: doc sets only (small payloads) → candidate intersection;
-        # round 2: candidate-scoped positional fetches — decode and payload
-        # proportional to candidates, not hot-term df (same skip-decode as
-        # the local engine, so results stay bit-equal)
         dfuts = {t: self.actors[self._route(t)].exact_docs.remote(t) for t in uniq}
         postings = {t: ray.get(f) for t, f in dfuts.items()}
         if any(d.size == 0 for d in postings.values()):
-            return empty
-        from nmr_fair_dos_ray.search.engine import intersect_doc_sets
-
+            return None, terms
         inter = intersect_doc_sets(postings)
         if inter.size == 0:
-            return empty
+            return None, terms
         futs = {
             t: self.actors[self._route(t)].positions.remote(t, inter)
             for t in uniq
@@ -437,8 +432,19 @@ class ShardedSearcher:
         for t, fut in futs.items():
             p = ray.get(fut)
             if p is None:
-                return empty
+                return None, terms
             plists[t] = p
+        return plists, terms
+
+    def _phrase_match(self, phrase: str) -> tuple[np.ndarray, np.ndarray]:
+        """Distributed phrase resolution — candidate plumbing in
+        :meth:`_positional_plists`, intersection math shared with the local
+        engine (`phrase_intersect`)."""
+        from nmr_fair_dos_ray.search.engine import phrase_intersect
+
+        plists, terms = self._positional_plists(phrase)
+        if plists is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         return phrase_intersect(terms, plists)
 
     def search_phrase(self, phrase: str, k: int = 10) -> list[tuple[int, int]]:
@@ -446,6 +452,22 @@ class ShardedSearcher:
         :meth:`Searcher.search_phrase` (same intersection math over the same
         masked positional postings)."""
         docs_m, counts = self._phrase_match(phrase)
+        order = np.lexsort((docs_m, -counts))[:k]
+        return [(int(docs_m[i]), int(counts[i])) for i in order]
+
+    def search_near(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, int]]:
+        """Distributed ordered-proximity top-k — bit-equal to the local
+        :meth:`Searcher.search_near`: same two-round candidate resolution
+        as phrase (doc sets, then candidate-scoped positional RPCs), same
+        reachable-set DP (`near_intersect`)."""
+        from nmr_fair_dos_ray.search.engine import near_intersect
+
+        plists, terms = self._positional_plists(phrase)
+        if plists is None:
+            return []
+        docs_m, counts = near_intersect(terms, plists, slop)
         order = np.lexsort((docs_m, -counts))[:k]
         return [(int(docs_m[i]), int(counts[i])) for i in order]
 

@@ -773,6 +773,23 @@ def phrase_intersect(
     # searchsorted/repeat on the hot pairwise intersection. Doc ids (up to
     # 10^12) never enter the key arithmetic; int64 is the guarded fallback.
     dt = np.int32 if inter.size * K < 2**31 - 2 else np.int64
+    _keys = _rank_key_builder(plists, inter, K, dt)
+
+    # composite keys are strictly increasing (docs sorted, positions
+    # ascending within a doc), so every step stays a sorted-unique merge
+    ends = _keys(terms[0])
+    for t in terms[1:]:
+        ends = sorted_intersect(ends + dt(1), _keys(t))
+        if ends.size == 0:
+            return empty
+    # run-length over the (sorted) matched ranks — no re-sort
+    ranks_m, counts = run_length(ends // dt(K))
+    return inter[ranks_m].astype(np.int64, copy=False), counts
+
+
+def _rank_key_builder(plists, inter: np.ndarray, K: int, dt):
+    """term → composite key array ``rank(doc in inter) * K + position``
+    (strictly increasing), shared by the phrase and proximity kernels."""
     ranks = np.arange(inter.size, dtype=dt)
 
     def _keys(t: str) -> np.ndarray:
@@ -789,15 +806,49 @@ def phrase_intersect(
         return (np.repeat(ranks, lens) * dt(K)
                 + flat[flat_idx].astype(dt, copy=False))
 
-    # composite keys are strictly increasing (docs sorted, positions
-    # ascending within a doc), so every step stays a sorted-unique merge
-    ends = _keys(terms[0])
-    for t in terms[1:]:
-        ends = sorted_intersect(ends + dt(1), _keys(t))
-        if ends.size == 0:
+    return _keys
+
+
+def near_intersect(
+    terms: list[str],
+    plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered proximity ("near") matching over decoded positional
+    postings: a doc matches when the query terms occur IN ORDER with each
+    consecutive gap ≤ ``slop + 1`` tokens (``slop=0`` = exact adjacency —
+    bit-equal to :func:`phrase_intersect`). Returns ``(sorted doc_ids,
+    n_chains)`` where n_chains counts DISTINCT chain end positions.
+
+    Reachable-set DP (the any-choice semantics SQL EXISTS joins express —
+    greedy picks are NOT sound here because the gap window is bounded on
+    both sides): R_i = positions of term i with some R_{i-1} position in
+    ``[p - slop - 1, p - 1]``; two vectorized searchsorteds per term over
+    composite rank-keys with stride ``K > maxpos + slop + 2`` so windows
+    cannot bleed across docs."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    inter: np.ndarray | None = None
+    for t in terms:
+        inter = (
+            plists[t][0] if inter is None
+            else sorted_intersect(inter, plists[t][0])
+        )
+        if inter.size == 0:
             return empty
-    # run-length over the (sorted) matched ranks — no re-sort
-    ranks_m, counts = run_length(ends // dt(K))
+    K = slop + 3 + max(
+        int(plists[t][2].max()) if plists[t][2].size else 0 for t in set(terms)
+    )
+    dt = np.int32 if inter.size * K < 2**31 - 2 else np.int64
+    _keys = _rank_key_builder(plists, inter, K, dt)
+    reach = _keys(terms[0])
+    for t in terms[1:]:
+        kt = _keys(t)
+        lo = np.searchsorted(reach, kt - dt(slop + 1))
+        hi = np.searchsorted(reach, kt)  # strict: predecessor < position
+        reach = kt[hi > lo]
+        if reach.size == 0:
+            return empty
+    ranks_m, counts = run_length(reach // dt(K))
     return inter[ranks_m].astype(np.int64, copy=False), counts
 
 
@@ -1321,17 +1372,68 @@ class Searcher:
                     if ends.size == 0:
                         return empty
                 return run_length(ends // r.POS_KEY_STRIDE)
+        plists = self._candidate_plists(uniq, inter, postings)
+        if plists is None:
+            return empty
+        return phrase_intersect(terms, plists)
+
+    def _candidate_plists(
+        self, uniq: list[str], inter: np.ndarray,
+        postings: dict[str, np.ndarray],
+    ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] | None:
+        """Positional triples for the positional kernels — candidate-scoped
+        decode only when it actually prunes (for a non-selective hot bigram
+        the cached full triple is free and the kernels subset by `inter`
+        themselves). None when any term has no token stream."""
         plists = {}
         for t in uniq:
-            # candidate-scoped decode only when it actually prunes — for a
-            # non-selective hot bigram the cached full triple is free and
-            # phrase_intersect subsets by `inter` itself
             cand = inter if inter.size * 4 < postings[t].size else None
-            p = r.positions(t, candidates=cand)
+            p = self.r.positions(t, candidates=cand)
             if p is None:
-                return empty  # field term: postings but no token stream
+                return None  # field term: postings but no token stream
             plists[t] = p
-        return phrase_intersect(terms, plists)
+        return plists
+
+    # ------------------------------------------------------------ proximity
+    def search_near(
+        self, phrase: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, int]]:
+        """Ordered proximity top-k (the ES ``match_phrase`` + ``slop``
+        analog, with documented simplified semantics: terms must appear IN
+        ORDER and each consecutive gap may span at most ``slop + 1``
+        tokens; ``slop=0`` is bit-equal to :meth:`search_phrase`). Ranked
+        by (chain count desc, doc_id asc); count = distinct chain end
+        positions — SQL-expressible as EXISTS-joined position inequalities
+        (any-choice chain semantics, see :func:`near_intersect`)."""
+        docs_m, counts = self._near_match(phrase, slop)
+        order = np.lexsort((docs_m, -counts))[:k]
+        return [(int(docs_m[i]), int(counts[i])) for i in order]
+
+    def _near_match(self, phrase: str, slop: int) -> tuple[np.ndarray, np.ndarray]:
+        r = self.r
+        if not r.has_positions:
+            raise ValueError(
+                "index was built without store_positions=True; phrase search "
+                "needs positional postings"
+            )
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        terms = r.tokenizer.tokenize(phrase)
+        if not terms:
+            return empty
+        uniq = sorted(set(terms))
+        postings = {}
+        for t in uniq:
+            d = r.postings(t)[0]
+            if d.size == 0:
+                return empty
+            postings[t] = d
+        inter = intersect_doc_sets(postings)
+        if inter.size == 0:
+            return empty
+        plists = self._candidate_plists(uniq, inter, postings)
+        if plists is None:
+            return empty
+        return near_intersect(terms, plists, slop)
 
     # ---------------------------------------------------------------- facets
     def match_set(self, query: str) -> np.ndarray:

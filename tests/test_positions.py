@@ -184,3 +184,84 @@ def test_positions_survive_resume(pos_index, sf_unit):
     r2 = IndexReader(DIR_POS)
     assert r2.has_positions
     assert Searcher(r2).search_phrase("user name", k=10) == before
+
+
+# --------------------------------------------------------------- proximity
+def _brute_near(streams, words, slop, k):
+    """Reachable-set DP per doc in plain Python sets; counts distinct chain
+    end positions (the documented any-choice semantics)."""
+    out = []
+    for d, st in streams.items():
+        reach = set(st.get(words[0], []))
+        for w in words[1:]:
+            nxt = set(st.get(w, []))
+            reach = {
+                p for p in nxt
+                if any(p - slop - 1 <= q <= p - 1 for q in reach)
+            }
+            if not reach:
+                break
+        if reach:
+            out.append((d, len(reach)))
+    out.sort(key=lambda h: (-h[1], h[0]))
+    return out[:k]
+
+
+def test_near_slop0_is_bit_equal_to_phrase(pos_index):
+    r, r_salt, fx = pos_index
+    s, s_salt = Searcher(r), Searcher(r_salt)
+    for phrase in PHRASES:
+        assert s.search_near(phrase, k=20, slop=0) == s.search_phrase(
+            phrase, k=20
+        ), phrase
+        assert s_salt.search_near(phrase, k=20, slop=0) == s_salt.search_phrase(
+            phrase, k=20
+        ), phrase
+
+
+def test_near_matches_brute_force(pos_index):
+    r, r_salt, fx = pos_index
+    streams = _streams(fx)
+    tok = Tokenizer("code")
+    for phrase in PHRASES:
+        words = tok.tokenize(phrase)
+        for slop in (1, 2, 4):
+            exp = _brute_near(streams, words, slop, 20) if words else []
+            assert Searcher(r).search_near(phrase, k=20, slop=slop) == exp, (
+                phrase, slop,
+            )
+            assert Searcher(r_salt).search_near(phrase, k=20, slop=slop) == exp
+
+
+def test_near_intersect_nongreedy_counterexample():
+    """The bounded gap window defeats both greedy directions: with B at
+    {2, 4} and C at {3}, slop=2, the only completing chain is A0→B2→C3 —
+    largest-eligible greedy would pick B4 and miss it. The reachable-set
+    DP must find it."""
+    from nmr_fair_dos_ray.search.engine import near_intersect
+
+    plists = {
+        "a": (np.array([0]), np.array([0, 1]), np.array([0])),
+        "b": (np.array([0]), np.array([0, 2]), np.array([2, 4])),
+        "c": (np.array([0]), np.array([0, 1]), np.array([3])),
+    }
+    docs, counts = near_intersect(["a", "b", "c"], plists, slop=2)
+    assert docs.tolist() == [0] and counts.tolist() == [1]
+    # slop=0 (adjacency) finds nothing: 0→1? no b at 1
+    docs0, _ = near_intersect(["a", "b", "c"], plists, slop=0)
+    assert docs0.size == 0
+
+
+def test_sharded_near_matches_local(pos_index):
+    from nmr_fair_dos_ray.search.distributed import ShardedSearcher
+
+    r, _, fx = pos_index
+    s = Searcher(r)
+    pool = ShardedSearcher(DIR_POS, pool_size=2)
+    try:
+        for phrase in PHRASES:
+            for slop in (0, 2):
+                assert pool.search_near(phrase, k=20, slop=slop) == \
+                    s.search_near(phrase, k=20, slop=slop), (phrase, slop)
+    finally:
+        pool.shutdown()
