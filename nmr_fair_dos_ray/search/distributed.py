@@ -455,6 +455,14 @@ class ShardedSearcher:
         order = np.lexsort((docs_m, -counts))[:k]
         return [(int(docs_m[i]), int(counts[i])) for i in order]
 
+    def _near_match(self, phrase: str, slop: int) -> tuple[np.ndarray, np.ndarray]:
+        from nmr_fair_dos_ray.search.engine import near_intersect
+
+        plists, terms = self._positional_plists(phrase)
+        if plists is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return near_intersect(terms, plists, slop)
+
     def search_near(
         self, phrase: str, k: int = 10, slop: int = 0
     ) -> list[tuple[int, int]]:
@@ -462,12 +470,7 @@ class ShardedSearcher:
         :meth:`Searcher.search_near`: same two-round candidate resolution
         as phrase (doc sets, then candidate-scoped positional RPCs), same
         reachable-set DP (`near_intersect`)."""
-        from nmr_fair_dos_ray.search.engine import near_intersect
-
-        plists, terms = self._positional_plists(phrase)
-        if plists is None:
-            return []
-        docs_m, counts = near_intersect(terms, plists, slop)
+        docs_m, counts = self._near_match(phrase, slop)
         order = np.lexsort((docs_m, -counts))[:k]
         return [(int(docs_m[i]), int(counts[i])) for i in order]
 
@@ -492,10 +495,14 @@ class ShardedSearcher:
         exact: list[str] = []
         for neg, kind, body in parse_query_string(query):
             if kind == "phrase":
-                docs, _ = self._phrase_match(body)
+                text, _, slop_s = body.partition("\x00")
+                docs, _ = (
+                    self._phrase_match(text) if not slop_s
+                    else self._near_match(text, int(slop_s))
+                )
                 (nots if neg == "-" else musts).append(docs)
                 if neg != "-":
-                    score_set.update(self.tokenizer.tokenize(body))
+                    score_set.update(self.tokenizer.tokenize(text))
             elif kind == "field":
                 if neg == "-":
                     nots.append(self._docs_of(body))

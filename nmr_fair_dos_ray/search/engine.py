@@ -855,16 +855,21 @@ def near_intersect(
 def parse_query_string(query: str) -> list[tuple[str, str, str]]:
     """Tokenize the query-string grammar → ``[(sign, kind, body)]`` where
     sign ∈ {'', '+', '-'} and kind ∈ {'phrase', 'field', 'fuzzy', 'prefix',
-    'terms'} (fuzzy body is ``text\\x00edits``). Shared by the local and the
-    sharded query-string searchers so both resolve identical atom lists."""
+    'terms'} (fuzzy body is ``text\\x00edits``; a sloppy phrase
+    ``"a b"~N`` encodes as ``text\\x00N`` — consumers ``partition('\\x00')``
+    either way). Shared by the local and the sharded query-string searchers
+    so both resolve identical atom lists."""
     import re
 
     from nmr_fair_dos_ray.tokenizer import EXACT_FIELD_PREFIXES
 
     out: list[tuple[str, str, str]] = []
-    for sign, body in re.findall(r'([+-]?)("[^"]*"|\S+)', query):
+    for sign, body in re.findall(r'([+-]?)("[^"]*"(?:~\d+)?|\S+)', query):
         if body.startswith('"'):
-            out.append((sign, "phrase", body.strip('"')))
+            m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', body)
+            slop = m.group(2)
+            out.append((sign, "phrase",
+                        m.group(1) + (f"\x00{slop}" if slop else "")))
             continue
         if body.startswith(EXACT_FIELD_PREFIXES):
             out.append((sign, "field", body))
@@ -1155,7 +1160,9 @@ class Searcher:
         ``+term``             scored AND required (``bool.must``)
         ``-term``             excluded (``bool.must_not``)
         ``"a b"``             exact phrase required (positional index)
-        ``-"a b"``            phrase excluded
+        ``"a b"~N``           sloppy phrase (ordered, gaps ≤ N+1 — the
+                              :meth:`search_near` semantics), required
+        ``-"a b"``            phrase excluded (also with ``~N``)
         ``field:v``           exact filter; ``-field:v`` excludes
         ``pref*``             prefix expansion, scored; ``+pref*`` also
                               REQUIRES a doc to match some expanded term
@@ -1178,10 +1185,14 @@ class Searcher:
         exact: list[str] = []
         for neg, kind, body in parse_query_string(query):
             if kind == "phrase":
-                docs, _ = self._phrase_match(body)
+                text, _, slop_s = body.partition("\x00")
+                docs, _ = (
+                    self._phrase_match(text) if not slop_s
+                    else self._near_match(text, int(slop_s))
+                )
                 (nots if neg == "-" else musts).append(docs)
                 if neg != "-":  # phrase terms also contribute to the score
-                    score_set.update(r.tokenizer.tokenize(body))
+                    score_set.update(r.tokenizer.tokenize(text))
             elif kind == "field":
                 if neg == "-":
                     nots.append(r.postings(body)[0])

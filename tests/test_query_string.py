@@ -89,6 +89,30 @@ def test_prefix_and_fuzzy_atoms(s):
     assert s.search_query("retrn~2", k=10) == s._taat(sorted(fz2), 10, None)
 
 
+def test_sloppy_phrase_atom(s):
+    """`"a b"~N` is a required ordered-proximity constraint with the
+    search_near semantics; `~0`-less quoting stays exact phrase."""
+    # find a fixture phrase where slop actually widens the match set
+    phrase = None
+    for cand in ("self return", "def self", "def config", "user merge",
+                 "get name"):
+        nd = {d for d, _ in s.search_near(cand, k=10_000, slop=2)}
+        pd_ = {d for d, _ in s.search_phrase(cand, k=10_000)}
+        assert pd_ <= nd, cand  # slop can only widen
+        if nd - pd_:
+            phrase = cand
+            near_docs = nd
+            break
+    assert phrase is not None, "no fixture phrase widens under slop=2"
+    got = s.search_query(f'"{phrase}"~2', k=10_000)
+    base = _full(s, phrase)
+    want = [(d, sc) for d, sc in base if d in near_docs]
+    assert got == want
+    # negated sloppy phrase excludes the widened set
+    neg = s.search_query(f'def -"{phrase}"~2', k=10_000)
+    assert neg and all(d not in near_docs for d, _ in neg)
+
+
 def test_signed_prefix_and_fuzzy_atoms(s):
     """`+expr*` / `+term~` require a doc to match SOME expanded term;
     `-expr*` / `-term~` exclude the expansion's whole postings union (not
@@ -144,6 +168,8 @@ def test_sharded_phrase_and_query_string_match_local(s):
             'def -"self return"',
             '"self return" conf*',
             "retrn~ merge",
+            '"self return"~2',
+            'def -"self return"~1',
             "+conf* merge",
             "merge -conf*",
             "+retrn~ merge",
