@@ -1,11 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — 49 callables, one per implemented operator/pipeline
+sf0.001. ``queries()`` — 54 callables, one per implemented operator/pipeline
 from SURVEY.md §2 (incl. the M1-M11 extraction family, the round-3 document
-lifecycle and the prefix/fuzzy/query-string/snippet search surface) plus the
+lifecycle, the prefix/fuzzy/query-string/snippet/proximity/best_fields
+search surface and the persisted-IVF similarity index) plus the
 training-data operators; each takes ``sf_dir`` and returns a DataFrame.
-``oracle_sql()`` — the DuckDB-equivalent SQL for the 39 SQL-expressible
+``oracle_sql()`` — the DuckDB-equivalent SQL for the 45 SQL-expressible
 queries (same column names, same rounding); non-SQL-expressible pipelines
 (LSH bucketing, SimHash banding, heuristic language-ID, IVF recall,
 binary multimodal decode) are intentionally omitted there → rows-only check.
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_neardup": dp.q_embed_neardup,
         # similarity search
         "q_ann_top5": dp.q_ann_top5,
+        "q_ivf_persisted": dp.q_ivf_persisted,
         "q_ivf_overlap": dp.q_ivf_overlap,
         # multimodal plumbing (stubbed decode kernel)
         "q_image_pipeline": dp.q_image_pipeline,
@@ -810,6 +812,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "q_ann_top5": """
+            WITH q AS (
+                SELECT vec_id AS query_vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 8
+            ),
+            sims AS (
+                SELECT q.query_vec_id, e.vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) AS cosine
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_vec_id, vec_id, cosine,
+                       row_number() OVER (
+                           PARTITION BY query_vec_id
+                           ORDER BY cosine DESC, vec_id
+                       ) AS rnk
+                FROM sims
+            )
+            SELECT query_vec_id, rnk::INT AS rank, vec_id, round(cosine, 4) AS cosine
+            FROM ranked WHERE rnk <= 5 ORDER BY query_vec_id, rnk
+        """,
+        # persisted IVF queried exhaustively == brute force (every vector
+        # in exactly one partition), so the same oracle applies
+        "q_ivf_persisted": """
             WITH q AS (
                 SELECT vec_id AS query_vec_id, embedding FROM embeddings
                 ORDER BY vec_id LIMIT 8

@@ -316,3 +316,146 @@ def ivf_topk(
         batch_format="pyarrow", concurrency=(1, 8),
     )
     return _merge_topk_driver(partial, k, round_to=None)
+
+
+# -------------------------------------------------------- persisted IVF ---
+class ClusterMaskTopK(BruteForceTopK):
+    """Per-query cluster-masked partial top-k — the probe stage over a
+    PERSISTED IVF layout where ``cluster_id`` rides each row (from the hive
+    partition column). Float64 math, same as BruteForceTopK, so an
+    exhaustive probe (nprobe = n_clusters) is bit-equal to brute force."""
+
+    def __init__(self, queries_ref, allowed_ref, **kw):
+        super().__init__(queries_ref, **kw)
+        import ray
+
+        self.allowed = (
+            ray.get(allowed_ref) if not isinstance(allowed_ref, list)
+            else allowed_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        clusters = (
+            batch["cluster_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = self.q @ m.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            mask = np.isin(clusters, list(self.allowed[qi]))
+            if not mask.any():
+                continue
+            s = sims[qi][mask]
+            k = min(self.k, s.size)
+            idx = np.argpartition(-s, kth=k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_v.extend(ids[mask][idx].tolist())
+            out_s.extend(s[idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def build_ivf_index(
+    vectors: Dataset,
+    out_dir: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+) -> dict:
+    """Persist an IVF similarity index: deterministic k-means centroids
+    (``centroids.npy``) + the vector table rewritten as CLUSTER-PARTITIONED
+    parquet (hive layout, ``cluster_id=<c>/``) — a later probe reads ONLY
+    its clusters' partitions, pruned at the parquet source. Clustering runs
+    once per corpus, not once per query (the 100-TB shape the inline
+    `ivf_topk` documents). Write-once resumable: the manifest is written
+    LAST, atomically; an existing manifest short-circuits the build."""
+    import json
+    import os
+
+    import ray
+
+    man_path = os.path.join(out_dir, "ivf_manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    sample = _batch_matrix(
+        pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()), vec_col
+    )
+    centroids = kmeans_fit(sample, n_clusters)
+    cref = ray.put(centroids)
+    assigned = vectors.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": cref, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    assigned.write_parquet(
+        os.path.join(out_dir, "vectors"), partition_cols=["cluster_id"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    man = {
+        "n_clusters": int(n_clusters), "dim": int(centroids.shape[1]),
+        "vec_col": vec_col, "id_col": id_col,
+    }
+    tmp = man_path + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, man_path)
+    return man
+
+
+def ivf_index_topk(
+    index_dir: str,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int | None = None,
+) -> Dataset:
+    """Query a persisted IVF index (:func:`build_ivf_index`): probe the
+    ``nprobe`` nearest centroids per query; the parquet read carries a
+    ``cluster_id`` filter that prunes unprobed hive partitions at the
+    source — I/O scales with the probed fraction, not the corpus. With
+    ``nprobe = n_clusters`` the probe is exhaustive and, because every
+    vector lives in exactly ONE partition, results are bit-equal to
+    :func:`brute_force_topk` (the oracle-checked configuration)."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
+        man = json.load(f)
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _normalize(np.asarray(query_matrix, np.float64))
+    sims_c = qn @ centroids.T.astype(np.float64)
+    nprobe = min(nprobe, int(man["n_clusters"]))
+    probes = np.argsort(-sims_c, axis=1)[:, :nprobe]
+    allowed = [set(map(int, row)) for row in probes]
+    needed = sorted({c for s in allowed for c in s})
+    # partition pruning by PATH: only probed cluster directories are listed
+    # and read (Ray re-attaches cluster_id from the hive path, as string —
+    # the probe stage casts). Unprobed partitions never touch storage.
+    parts = [
+        rd.read_parquet(os.path.join(index_dir, "vectors", f"cluster_id={c}"))
+        for c in needed
+    ]
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    qref = ray.put(np.asarray(query_matrix, np.float64))
+    aref = ray.put(allowed)
+    partial = ds.map_batches(
+        ClusterMaskTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "allowed_ref": aref, "k": k,
+            "vec_col": man["vec_col"], "id_col": man["id_col"],
+        },
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    return _merge_topk_driver(partial, k, round_to)

@@ -672,6 +672,29 @@ def q_ann_top5(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_ivf_persisted(sf_dir: str) -> pd.DataFrame:
+    """PERSISTED IVF index (ann.build_ivf_index: k-means centroids +
+    cluster-partitioned hive parquet, built once and resumed on re-run)
+    queried exhaustively (nprobe = n_clusters): every vector lives in
+    exactly one partition, so results are bit-equal to brute force and the
+    q_ann_top5 SQL oracle applies verbatim. Selective probes (the real
+    scale path — only probed partitions are READ) are recall-checked by
+    q_ivf_overlap."""
+    from nmr_fair_dos_ray.pipelines.ann import build_ivf_index, ivf_index_topk
+
+    qids, qm = _query_matrix(sf_dir)
+    vecs = sized_read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    idx = f"/tmp/nmr_fair_dos_ray/ivfindex/{_tag(sf_dir)}"
+    build_ivf_index(vecs, idx, n_clusters=8)
+    res = ivf_index_topk(idx, qm, k=ANN_K, nprobe=8, round_to=4).to_pandas()
+    res["query_vec_id"] = res["query_id"].map(lambda q: int(qids[q]))
+    return res[["query_vec_id", "rank", "vec_id", "cosine"]].sort_values(
+        ["query_vec_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def q_ivf_overlap(sf_dir: str) -> pd.DataFrame:
     """IVF(nprobe=4) vs brute-force overlap per query (rows-only oracle) —
     the scale path's recall check."""
