@@ -182,6 +182,33 @@ class IVFMultiAssign:
         return out.append_column("cluster_id", pa.array(clusters.astype(np.int32)))
 
 
+def _fit_and_assign(
+    vectors: "Dataset", n_clusters: int, vec_col: str, sample_rows: int,
+    multi_tau: float | None = None, concurrency=(1, 8),
+):
+    """Shared k-means-on-a-sample + per-batch centroid assignment:
+    (centroids, assigned dataset). ``multi_tau`` switches to the margin
+    multi-assignment stage (near-dup's no-missed-pairs variant)."""
+    import ray
+
+    sample = _batch_matrix(
+        pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()), vec_col
+    )
+    centroids = kmeans_fit(sample, n_clusters)
+    cref = ray.put(centroids)
+    if multi_tau is None:
+        stage, kw = IVFAssign, {"centroids_ref": cref, "vec_col": vec_col}
+    else:
+        stage, kw = IVFMultiAssign, {
+            "centroids_ref": cref, "tau": multi_tau, "vec_col": vec_col,
+        }
+    assigned = vectors.map_batches(
+        stage, fn_constructor_kwargs=kw,
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+    return centroids, assigned
+
+
 def embed_neardup_pairs(
     vectors: Dataset,
     tau: float,
@@ -202,19 +229,10 @@ def embed_neardup_pairs(
     never reads the vectors. At 100 TB cluster_id becomes the Parquet
     partition key and each group task streams one bucket.
     """
-    import ray
     from ray.data.aggregate import Min
 
-    sample = _batch_matrix(
-        pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()), vec_col
-    )
-    centroids = kmeans_fit(sample, n_clusters)
-    cref = ray.put(centroids)
-    assigned = vectors.map_batches(
-        IVFMultiAssign,
-        fn_constructor_kwargs={"centroids_ref": cref, "tau": tau, "vec_col": vec_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    _, assigned = _fit_and_assign(
+        vectors, n_clusters, vec_col, sample_rows, multi_tau=tau
     )
 
     def in_cluster_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -266,14 +284,8 @@ def ivf_topk(
     Parquet partition key so probes prune at the read."""
     import ray
 
-    sample = _batch_matrix(
-        pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()), vec_col
-    )
-    centroids = kmeans_fit(sample, n_clusters)
-    cref = ray.put(centroids)
-    assigned = vectors.map_batches(
-        IVFAssign, fn_constructor_kwargs={"centroids_ref": cref, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=(1, 4),
+    centroids, assigned = _fit_and_assign(
+        vectors, n_clusters, vec_col, sample_rows, concurrency=(1, 4)
     )
     q = _normalize(np.asarray(query_matrix, np.float32))
     probes = (q @ centroids.T).argsort(axis=1)[:, ::-1][:, :nprobe]  # (nq, nprobe)
@@ -329,21 +341,28 @@ class ClusterMaskTopK(BruteForceTopK):
         super().__init__(queries_ref, **kw)
         import ray
 
-        self.allowed = (
+        allowed = (
             ray.get(allowed_ref) if not isinstance(allowed_ref, list)
             else allowed_ref
         )
+        # boolean (nq, max_cluster+1) lookup built ONCE per actor — the
+        # per-batch mask is then pure indexing, no per-query np.isin sort
+        n_c = 1 + max((max(s) for s in allowed if s), default=0)
+        self.allowed_mask = np.zeros((len(allowed), n_c), bool)
+        for qi, s in enumerate(allowed):
+            self.allowed_mask[qi, list(s)] = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         clusters = (
             batch["cluster_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         )
+        # rows only come from probed partitions ⊆ the mask's cluster range
         m = _normalize(_batch_matrix(batch, self.vec_col))
         sims = self.q @ m.T
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            mask = np.isin(clusters, list(self.allowed[qi]))
+            mask = self.allowed_mask[qi][clusters]
             if not mask.any():
                 continue
             s = sims[qi][mask]
@@ -386,19 +405,18 @@ def build_ivf_index(
         with open(man_path) as f:
             return json.load(f)
     os.makedirs(out_dir, exist_ok=True)
-    sample = _batch_matrix(
-        pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()), vec_col
+    vdir = os.path.join(out_dir, "vectors")
+    if os.path.isdir(vdir):
+        # leftovers from a crashed build (manifest is written LAST): Ray
+        # write_parquet APPENDS uniquely-named files, so re-running into a
+        # dirty directory would duplicate every vector — wipe first
+        import shutil
+
+        shutil.rmtree(vdir)
+    centroids, assigned = _fit_and_assign(
+        vectors, n_clusters, vec_col, sample_rows
     )
-    centroids = kmeans_fit(sample, n_clusters)
-    cref = ray.put(centroids)
-    assigned = vectors.map_batches(
-        IVFAssign,
-        fn_constructor_kwargs={"centroids_ref": cref, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
-    assigned.write_parquet(
-        os.path.join(out_dir, "vectors"), partition_cols=["cluster_id"]
-    )
+    assigned.write_parquet(vdir, partition_cols=["cluster_id"])
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
     man = {
         "n_clusters": int(n_clusters), "dim": int(centroids.shape[1]),
@@ -443,10 +461,19 @@ def ivf_index_topk(
     # partition pruning by PATH: only probed cluster directories are listed
     # and read (Ray re-attaches cluster_id from the hive path, as string —
     # the probe stage casts). Unprobed partitions never touch storage.
-    parts = [
-        rd.read_parquet(os.path.join(index_dir, "vectors", f"cluster_id={c}"))
-        for c in needed
+    # A probed centroid that ended up with ZERO vectors has no directory —
+    # skip it (an empty partition contributes nothing by definition).
+    dirs = [
+        d for c in needed
+        if os.path.isdir(d := os.path.join(index_dir, "vectors", f"cluster_id={c}"))
     ]
+    if not dirs:
+        return _merge_topk_driver(
+            rd.from_pandas(pd.DataFrame(
+                {"query_id": [], "vec_id": [], "cosine": []}
+            )), k, round_to,
+        )
+    parts = [rd.read_parquet(d) for d in dirs]
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     qref = ray.put(np.asarray(query_matrix, np.float64))
     aref = ray.put(allowed)

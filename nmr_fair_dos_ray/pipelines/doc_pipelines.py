@@ -420,6 +420,15 @@ def facet_metric_stats(
 
     s = Searcher(IndexReader(documents_index(sf_dir)))
     matches = s.match_set(query)
+    if matches.size == 0:
+        # Ray's groupby over an empty dataset yields a zero-column frame —
+        # return the typed empty result the oracle produces instead
+        return pd.DataFrame({
+            facet_col: pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            f"sum_{metric_col}": pd.Series(dtype="int64"),
+            f"avg_{metric_col}": pd.Series(dtype="float64"),
+        })
     ref = ray.put(matches)
 
     class MatchFilter:

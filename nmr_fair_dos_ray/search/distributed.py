@@ -451,9 +451,10 @@ class ShardedSearcher:
         """Distributed exact-phrase top-k — bit-equal to the local
         :meth:`Searcher.search_phrase` (same intersection math over the same
         masked positional postings)."""
+        from nmr_fair_dos_ray.search.engine import topk_counts
+
         docs_m, counts = self._phrase_match(phrase)
-        order = np.lexsort((docs_m, -counts))[:k]
-        return [(int(docs_m[i]), int(counts[i])) for i in order]
+        return topk_counts(docs_m, counts, k)
 
     def _near_match(self, phrase: str, slop: int) -> tuple[np.ndarray, np.ndarray]:
         from nmr_fair_dos_ray.search.engine import near_intersect
@@ -470,9 +471,10 @@ class ShardedSearcher:
         :meth:`Searcher.search_near`: same two-round candidate resolution
         as phrase (doc sets, then candidate-scoped positional RPCs), same
         reachable-set DP (`near_intersect`)."""
+        from nmr_fair_dos_ray.search.engine import topk_counts
+
         docs_m, counts = self._near_match(phrase, slop)
-        order = np.lexsort((docs_m, -counts))[:k]
-        return [(int(docs_m[i]), int(counts[i])) for i in order]
+        return topk_counts(docs_m, counts, k)
 
     def search_query(
         self, query: str, k: int = 10, max_expansions: int | None = None,

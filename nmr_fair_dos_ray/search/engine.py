@@ -716,6 +716,16 @@ def intersect_doc_sets(postings: dict[str, np.ndarray]) -> np.ndarray:
     return inter
 
 
+def topk_counts(
+    docs: np.ndarray, counts: np.ndarray, k: int
+) -> list[tuple[int, int]]:
+    """Rank (doc, count) matches by (count desc, doc asc) and return the
+    top-k as int tuples — the shared epilogue of the phrase/proximity
+    query methods (local and sharded)."""
+    order = np.lexsort((docs, -counts))[:k]
+    return [(int(docs[i]), int(counts[i])) for i in order]
+
+
 def run_length(sorted_vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(distinct values, run counts) of an already-sorted array — no
     re-sort (``np.unique`` sorts again)."""
@@ -867,6 +877,9 @@ def parse_query_string(query: str) -> list[tuple[str, str, str]]:
     for sign, body in re.findall(r'([+-]?)("[^"]*"(?:~\d+)?|\S+)', query):
         if body.startswith('"'):
             m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', body)
+            if m is None:  # unterminated quote: treat as a plain phrase
+                out.append((sign, "phrase", body.strip('"')))
+                continue
             slop = m.group(2)
             out.append((sign, "phrase",
                         m.group(1) + (f"\x00{slop}" if slop else "")))
@@ -1334,8 +1347,7 @@ class Searcher:
         its owner — same partitioning assumption as ranked search.
         """
         docs_m, counts = self._phrase_match(phrase)
-        order = np.lexsort((docs_m, -counts))[:k]
-        return [(int(docs_m[i]), int(counts[i])) for i in order]
+        return topk_counts(docs_m, counts, k)
 
     def _phrase_match(self, phrase: str) -> tuple[np.ndarray, np.ndarray]:
         """All docs containing the exact phrase → (sorted doc_ids, counts)."""
@@ -1417,8 +1429,7 @@ class Searcher:
         positions — SQL-expressible as EXISTS-joined position inequalities
         (any-choice chain semantics, see :func:`near_intersect`)."""
         docs_m, counts = self._near_match(phrase, slop)
-        order = np.lexsort((docs_m, -counts))[:k]
-        return [(int(docs_m[i]), int(counts[i])) for i in order]
+        return topk_counts(docs_m, counts, k)
 
     def _near_match(self, phrase: str, slop: int) -> tuple[np.ndarray, np.ndarray]:
         r = self.r

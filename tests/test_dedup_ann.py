@@ -569,3 +569,74 @@ def test_real_y4m_video_decoder():
     assert out["n_frames"].to_pylist() == [2, 0]
     got = np.asarray(out["frames_luma"][0].as_py(), np.uint8).reshape(2, h, w)
     np.testing.assert_array_equal(got, lumas[[0, 3]])
+
+
+def test_parse_query_string_unterminated_quote():
+    from nmr_fair_dos_ray.search.engine import parse_query_string
+
+    assert parse_query_string('"abc') == [("", "phrase", "abc")]
+    assert parse_query_string('foo "bar')[-1] == ("", "phrase", "bar")
+    assert parse_query_string('"a b"~2') == [("", "phrase", "a b\x002")]
+    assert parse_query_string('"') == [("", "phrase", "")]
+
+
+def test_facet_stats_empty_match_returns_typed_empty(ray_session):
+    from nmr_fair_dos_ray.pipelines.doc_pipelines import facet_metric_stats
+
+    df = facet_metric_stats(
+        "/root/testdata/sf0.001", "zzqxneverinthecorpus", "lang", "n_chars"
+    )
+    assert len(df) == 0
+    assert list(df.columns) == ["lang", "n_docs", "sum_n_chars", "avg_n_chars"]
+
+
+def test_ivf_persisted_partial_build_cleanup(ray_session, tmp_path):
+    """A crashed build (data written, no manifest) must not duplicate
+    vectors on rebuild, and a probed-but-empty cluster must not crash."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nmr_fair_dos_ray.pipelines.ann import (
+        brute_force_topk, build_ivf_index, ivf_index_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim = 120, 8
+    vecs_np = rng.randn(n, dim).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs_np.ravel().astype(np.float32)), dim
+        ).cast(pa.list_(pa.float32())),
+    })
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, src)
+    vecs = rd.read_parquet(src)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(vecs, idx, n_clusters=6, sample_rows=64)
+    # simulate the crash: remove the manifest, keep the data, rebuild
+    os.remove(os.path.join(idx, "ivf_manifest.json"))
+    build_ivf_index(vecs, idx, n_clusters=6, sample_rows=64)
+    qm = vecs_np[:3].astype(np.float64)
+    got = ivf_index_topk(idx, qm, k=5, nprobe=6, round_to=4).to_pandas()
+    want = brute_force_topk(vecs, qm, k=5, round_to=4).to_pandas()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(want)  # no duplicate vec_ids from the dirty rebuild
+    assert got.groupby("query_id")["vec_id"].nunique().min() == 5
+    # probed-but-missing partition: fake an extra centroid with no dir
+    import json
+
+    man_p = os.path.join(idx, "ivf_manifest.json")
+    man = json.load(open(man_p))
+    cents = np.load(os.path.join(idx, "centroids.npy"))
+    np.save(os.path.join(idx, "centroids.npy"),
+            np.vstack([cents, cents[:1] * 0.99]))
+    man["n_clusters"] += 1
+    json.dump(man, open(man_p, "w"))
+    got2 = ivf_index_topk(idx, qm, k=5, nprobe=man["n_clusters"],
+                          round_to=4).to_pandas()
+    got2 = got2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got2.equals(want)  # empty cluster skipped, still exhaustive-exact
