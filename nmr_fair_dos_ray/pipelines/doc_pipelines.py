@@ -84,7 +84,14 @@ def documents_title_index(sf_dir: str) -> str:
     field's avgdl, not the body's)."""
     idx_dir = f"/tmp/nmr_fair_dos_ray/docindex/{_tag(sf_dir)}-title"
     tdir = f"/tmp/nmr_fair_dos_ray/doctitle/{_tag(sf_dir)}"
-    if not (os.path.isdir(tdir) and os.listdir(tdir)):
+    done = tdir + ".done"  # beside tdir: the dir itself holds only parquet
+    if not os.path.exists(done):
+        # a crashed derive leaves partial files; Ray write_parquet appends,
+        # so wipe and rewrite — the marker lands only after a full write
+        import shutil
+
+        shutil.rmtree(tdir, ignore_errors=True)
+
         def derive(b: pa.Table) -> pa.Table:
             toks = pc.split_pattern_regex(
                 pc.utf8_trim_whitespace(b["text"]), pattern=r"\s+"
@@ -105,6 +112,8 @@ def documents_title_index(sf_dir: str) -> str:
             .map_batches(derive, batch_format="pyarrow")
             .write_parquet(tdir)
         )
+        with open(done, "w") as f:
+            f.write("ok")
     build_index(tdir, idx_dir, replace(DOC_INDEX_CFG, content_col="title"),
                 resume=True)
     return idx_dir
