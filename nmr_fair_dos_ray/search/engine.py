@@ -1784,7 +1784,8 @@ class QueryScorer:
     """
 
     def __init__(self, index_dir: str | None = None, k: int = 10,
-                 algorithm: str = "bmw", index_ref=None, result_cache: int = 0):
+                 algorithm: str = "bmw", index_ref=None, result_cache: int = 0,
+                 mode: str = "bm25", slop: int = 0):
         if index_ref is not None:
             import ray
 
@@ -1794,29 +1795,57 @@ class QueryScorer:
         self.searcher = Searcher(reader)
         self.k = k
         self.algorithm = algorithm
+        # every single-query surface is batchable: bm25 (default), and,
+        # phrase, near (uses ``slop``), prefix, fuzzy, query (query-string
+        # grammar). Per-row override via a "mode" column.
+        self.mode = mode
+        self.slop = int(slop)
         # optional per-actor query-result LRU (the reference's Elasticsearch
         # enables its request cache by default; this is the engine analog —
         # OFF by default so benchmark headlines stay uncached/comparable)
         self.result_cache = int(result_cache)
-        self._results: dict[tuple[str, int], list] = {}
+        self._results: dict[tuple[str, str, int], list] = {}
+
+    def _run(self, query: str, k: int, mode: str) -> list[tuple[int, float]]:
+        s = self.searcher
+        if mode == "bm25":
+            return s.search(query, k=k, algorithm=self.algorithm)
+        if mode == "and":
+            return s.search_and(query, k=k)
+        if mode == "phrase":
+            return s.search_phrase(query, k=k)
+        if mode == "near":
+            return s.search_near(query, k=k, slop=self.slop)
+        if mode == "prefix":
+            return s.search_prefix(query, k=k)
+        if mode == "fuzzy":
+            return s.search_fuzzy(query, k=k)
+        if mode == "query":
+            return s.search_query(query, k=k)
+        raise ValueError(f"unknown query mode {mode!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         ks = batch["k"].to_pylist() if "k" in batch.column_names else [self.k] * batch.num_rows
-        for qid, query, k in zip(
-            batch["query_id"].to_pylist(), batch["query"].to_pylist(), ks
+        modes = (
+            batch["mode"].to_pylist() if "mode" in batch.column_names
+            else [self.mode] * batch.num_rows
+        )
+        for qid, query, k, mode in zip(
+            batch["query_id"].to_pylist(), batch["query"].to_pylist(), ks, modes
         ):
             kk = int(k or self.k)
+            mode = mode or self.mode
             if self.result_cache:
-                key = (query, kk)
+                key = (query, mode, kk)
                 hits = self._results.get(key)
                 if hits is None:
-                    hits = self.searcher.search(query, k=kk, algorithm=self.algorithm)
+                    hits = self._run(query, kk, mode)
                     if len(self._results) >= self.result_cache:
                         self._results.pop(next(iter(self._results)))
                     self._results[key] = hits
             else:
-                hits = self.searcher.search(query, k=kk, algorithm=self.algorithm)
+                hits = self._run(query, kk, mode)
             for rank, (doc, score) in enumerate(hits, 1):
                 qids.append(qid); ranks.append(rank); docs.append(doc); scores.append(score)
         return pa.table(

@@ -224,3 +224,44 @@ def test_sorted_intersect_equals_numpy(a, b):
     np.testing.assert_array_equal(
         sorted_intersect(aa, bb), np.intersect1d(aa, bb)
     )
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=0, max_value=5))
+@settings(max_examples=40, deadline=None)
+def test_near_intersect_matches_reachable_set_bruteforce(seed, n_terms, slop):
+    """near_intersect == a per-doc Python reachable-set DP for any layout;
+    slop=0 must equal phrase_intersect exactly."""
+    from nmr_fair_dos_ray.search.engine import near_intersect, phrase_intersect
+
+    rng = np.random.RandomState(seed)
+    plists = _random_plists(rng, n_terms, n_docs=12, max_tf=4)
+    terms = [f"t{rng.randint(0, n_terms)}" for _ in range(n_terms)]
+    sets = {
+        t: {
+            int(d): set(
+                plists[t][2][plists[t][1][i]:plists[t][1][i + 1]].tolist()
+            )
+            for i, d in enumerate(plists[t][0])
+        }
+        for t in set(terms)
+    }
+    want = {}
+    for d in set.intersection(*[set(s.keys()) for s in sets.values()]):
+        reach = sets[terms[0]][d]
+        for t in terms[1:]:
+            reach = {
+                p for p in sets[t][d]
+                if any(p - slop - 1 <= q <= p - 1 for q in reach)
+            }
+            if not reach:
+                break
+        if reach:
+            want[d] = len(reach)
+    docs, counts = near_intersect(terms, plists, slop)
+    assert dict(zip(docs.tolist(), counts.tolist())) == want
+    if slop == 0:
+        pd_, pc_ = phrase_intersect(terms, plists)
+        np.testing.assert_array_equal(docs, pd_)
+        np.testing.assert_array_equal(counts, pc_)

@@ -211,3 +211,54 @@ def test_query_scorer_result_cache_identical(sharded):
         concurrency=1, batch_size=4, batch_format="pyarrow",
     ).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert base.equals(cached)
+
+
+def test_query_scorer_modes(sharded):
+    """QueryScorer batches any query surface: per-row mode column, results
+    identical to the single-query methods."""
+    import ray.data as rd
+
+    from nmr_fair_dos_ray.search.engine import QueryScorer
+
+    import shutil
+
+    from nmr_fair_dos_ray.pipelines.index_build import IndexConfig, build_index
+
+    _, _, sf = sharded
+    idx = "/tmp/nmr_fair_dos_ray/test_index_scorer_modes"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(sf["corpus"], idx, IndexConfig(
+        token_cols=("path", "lang"), field_cols=("repo", "lang"),
+        stored_cols=("repo",), num_shards=4, store_positions=True,
+    ))
+    local = Searcher(IndexReader(idx))
+    rows = [
+        (0, "def return self", "bm25"),
+        (1, "def config", "and"),
+        (2, "user name", "phrase"),
+        (3, "user name", "near"),
+        (4, "conf", "prefix"),
+        (5, "retrn", "fuzzy"),
+        (6, 'def +config -merge', "query"),
+    ]
+    t = rd.from_items([
+        {"query_id": q, "query": text, "mode": m} for q, text, m in rows
+    ])
+    out = t.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs={"index_dir": idx, "k": 5, "slop": 2},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas().sort_values(["query_id", "rank"])
+    want = {
+        0: local.search("def return self", k=5, algorithm="bmw"),
+        1: local.search_and("def config", k=5),
+        2: local.search_phrase("user name", k=5),
+        3: local.search_near("user name", k=5, slop=2),
+        4: local.search_prefix("conf", k=5),
+        5: local.search_fuzzy("retrn", k=5),
+        6: local.search_query('def +config -merge', k=5),
+    }
+    for qid, hits in want.items():
+        sub = out[out["query_id"] == qid]
+        assert sub["doc_id"].tolist() == [d for d, _ in hits], qid
+        assert sub["score"].tolist() == [float(sc) for _, sc in hits], qid
