@@ -68,10 +68,24 @@ def cmd_build(args: argparse.Namespace) -> int:
 
 
 def cmd_search(args: argparse.Namespace) -> int:
-    from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
+    from nmr_fair_dos_ray.search.engine import (
+        IndexReader, Searcher, best_fields_search,
+    )
 
-    s = Searcher(IndexReader(args.index))
+    dirs = args.index if isinstance(args.index, list) else [args.index]
     mode = args.mode
+    if mode == "best_fields":
+        searchers = [Searcher(IndexReader(d)) for d in dirs]
+        hits = best_fields_search(
+            searchers, args.query, k=args.k, tie_breaker=args.tie_breaker
+        )
+        print(json.dumps(
+            {"query": args.query, "mode": mode, "fields": len(dirs),
+             "hits": [{"rank": i + 1, "doc_id": d, "score": sc}
+                      for i, (d, sc) in enumerate(hits)]}
+        ))
+        return 0
+    s = Searcher(IndexReader(dirs[0]))
     if mode == "bm25":
         hits = s.search(args.query, k=args.k, algorithm=args.algorithm)
     elif mode == "and":
@@ -151,21 +165,27 @@ def main(argv: list[str] | None = None) -> int:
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
-    s.add_argument("--index", required=True)
+    s.add_argument("--index", required=True, action="append",
+                   help="index directory; repeat for best_fields mode "
+                        "(one index per scored field)")
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--algorithm", choices=("bmw", "taat"), default="bmw")
     s.add_argument(
         "--mode",
-        choices=("bm25", "and", "phrase", "near", "prefix", "fuzzy", "query"),
+        choices=("bm25", "and", "phrase", "near", "prefix", "fuzzy",
+                 "query", "best_fields"),
         default="bm25",
         help="query type: ranked disjunction, conjunctive, exact phrase, "
              "ordered proximity (--slop), prefix expansion, fuzzy "
-             "(Levenshtein) expansion, or the full query-string grammar",
+             "(Levenshtein) expansion, the full query-string grammar, or "
+             "multi-field dis-max over repeated --index",
     )
     s.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
     s.add_argument("--slop", type=int, default=0,
                    help="near mode: max extra tokens per consecutive gap")
+    s.add_argument("--tie-breaker", type=float, default=0.0,
+                   help="best_fields: weight of non-best field scores")
     s.set_defaults(fn=cmd_search)
 
     d = sub.add_parser(
