@@ -562,28 +562,42 @@ class IndexReader:
         Returns ``None`` when positions are unavailable for the term or a
         doc's positions exceed the stride (pathological token streams fall
         back to the per-query candidate path)."""
+        km = self.position_keys_with_max(term)
+        return None if km is None else km[0]
+
+    def position_keys_with_max(
+        self, term: str
+    ) -> tuple[np.ndarray, int] | None:
+        """(cached composite keys, max position in any doc) — the proximity
+        hot path needs the max to guard its slop window against cross-doc
+        bleed (window reaches ``key - slop - 1``; safe iff
+        ``maxpos + slop + 2 <= POS_KEY_STRIDE``)."""
         if term in self._p_keys_cache:
-            keys = self._p_keys_cache.pop(term)  # LRU: refresh recency
-            self._p_keys_cache[term] = keys
-            return keys
+            km = self._p_keys_cache.pop(term)  # LRU: refresh recency
+            self._p_keys_cache[term] = km
+            return km
         p = self.positions(term)
         if p is None:
-            keys = None
+            km = None
         else:
             docs, offs, flat = p
-            if flat.size and int(flat.max()) >= self.POS_KEY_STRIDE - 1:
-                keys = None
+            maxpos = int(flat.max()) if flat.size else 0
+            if maxpos >= self.POS_KEY_STRIDE - 1:
+                km = None
             else:
-                keys = np.repeat(docs, np.diff(offs)) * self.POS_KEY_STRIDE + flat
-        nb = 0 if keys is None else keys.nbytes
+                km = (
+                    np.repeat(docs, np.diff(offs)) * self.POS_KEY_STRIDE + flat,
+                    maxpos,
+                )
+        nb = 0 if km is None else km[0].nbytes
         if nb <= self.P_KEYS_CACHE_BUDGET:
             while (self._p_keys_cache and
                    self._p_keys_cache_bytes + nb > self.P_KEYS_CACHE_BUDGET):
                 old = self._p_keys_cache.pop(next(iter(self._p_keys_cache)))
-                self._p_keys_cache_bytes -= 0 if old is None else old.nbytes
-            self._p_keys_cache[term] = keys
+                self._p_keys_cache_bytes -= 0 if old is None else old[0].nbytes
+            self._p_keys_cache[term] = km
             self._p_keys_cache_bytes += nb
-        return keys
+        return km
 
     def _positions_selective(
         self, term: str, docs: np.ndarray, tfs: np.ndarray,
@@ -1452,6 +1466,28 @@ class Searcher:
         inter = intersect_doc_sets(postings)
         if inter.size == 0:
             return empty
+        if inter.size * 4 >= min(postings[t].size for t in uniq):
+            # HOT path, same cached keys as phrase: the reachable-set DP
+            # runs directly on global doc*STRIDE+pos keys. Safe only when
+            # maxpos + slop + 2 <= STRIDE (the slop window reaches
+            # key - slop - 1 and must not cross into the previous doc).
+            keys: dict[str, np.ndarray] | None = {}
+            for t in uniq:
+                km = r.position_keys_with_max(t)
+                if km is None or km[1] + slop + 2 > r.POS_KEY_STRIDE:
+                    keys = None
+                    break
+                keys[t] = km[0]
+            if keys is not None:
+                reach = keys[terms[0]]
+                for t in terms[1:]:
+                    kt = keys[t]
+                    lo = np.searchsorted(reach, kt - (slop + 1))
+                    hi = np.searchsorted(reach, kt)
+                    reach = kt[hi > lo]
+                    if reach.size == 0:
+                        return empty
+                return run_length(reach // r.POS_KEY_STRIDE)
         plists = self._candidate_plists(uniq, inter, postings)
         if plists is None:
             return empty

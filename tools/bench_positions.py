@@ -101,6 +101,20 @@ def main() -> dict:
     lat_np = np.array(lat)
     out["facet"] = {"p50_ms": round(float(np.percentile(lat_np, 50)), 3),
                     "p99_ms": round(float(np.percentile(lat_np, 99)), 3)}
+    # ordered proximity over the same bigrams (slop=2): must track the
+    # phrase p50 closely — same candidate machinery, one extra searchsorted
+    lat = []
+    for _ in range(2):
+        for p in phrases[:10]:
+            s.search_near(p, k=10, slop=2)
+    for _ in range(5):
+        for p in phrases:
+            t0 = time.time()
+            s.search_near(p, k=10, slop=2)
+            lat.append((time.time() - t0) * 1000)
+    lat_np = np.array(lat)
+    out["near_slop2"] = {"p50_ms": round(float(np.percentile(lat_np, 50)), 3),
+                         "p99_ms": round(float(np.percentile(lat_np, 99)), 3)}
     ray.shutdown()
     return out
 
