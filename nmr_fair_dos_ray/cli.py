@@ -100,10 +100,23 @@ def cmd_search(args: argparse.Namespace) -> int:
         hits = s.search_fuzzy(args.query, k=args.k, max_edits=args.max_edits)
     else:  # query-string grammar (+term -term "phrase" field:v pref* term~)
         hits = s.search_query(args.query, k=args.k)
+    rows = [{"rank": i + 1, "doc_id": d, "score": sc}
+            for i, (d, sc) in enumerate(hits)]
+    if args.fetch and rows:
+        # fetch phase: stored columns for the hit docs only (statistics-
+        # pruned doc-store read — the ES _source fetch analog)
+        from nmr_fair_dos_ray.search.engine import fetch_docs
+
+        cols = [c for c in args.fetch.split(",") if c]
+        stored = fetch_docs(dirs[0], [r["doc_id"] for r in rows], cols)
+        by_id = {
+            int(rec["doc_id"]): rec for rec in stored.to_pylist()
+        }
+        for r in rows:
+            for c in cols:
+                r[c] = by_id.get(r["doc_id"], {}).get(c)
     print(json.dumps(
-        {"query": args.query, "mode": mode,
-         "hits": [{"rank": i + 1, "doc_id": d, "score": sc}
-                  for i, (d, sc) in enumerate(hits)]}
+        {"query": args.query, "mode": mode, "hits": rows}
     ))
     return 0
 
@@ -186,6 +199,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="near mode: max extra tokens per consecutive gap")
     s.add_argument("--tie-breaker", type=float, default=0.0,
                    help="best_fields: weight of non-best field scores")
+    s.add_argument("--fetch", default="",
+                   help="comma-separated stored columns to attach to hits "
+                        "(statistics-pruned doc-store fetch)")
     s.set_defaults(fn=cmd_search)
 
     d = sub.add_parser(

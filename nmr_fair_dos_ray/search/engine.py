@@ -1749,6 +1749,29 @@ class Searcher:
         return [(-d, s) for s, d in out]
 
 
+def fetch_docs(
+    index_dir: str, doc_ids, columns: list[str] | None = None
+) -> pa.Table:
+    """ES fetch-phase analog (SURVEY J6 search-then-fetch): stored columns
+    for specific ``doc_ids`` from the doc store, reading ONLY the files /
+    row groups whose parquet doc_id statistics intersect the request —
+    build partitions assign contiguous docIDs (prefix-sum), so ranges are
+    disjoint and a k-doc fetch touches O(k) row groups, not the corpus.
+    Returns a doc_id-sorted table; tombstoned ids simply don't appear if
+    the caller passes them (hits from a Searcher are already masked)."""
+    import pyarrow.parquet as pq
+
+    ids = sorted({int(d) for d in doc_ids})
+    cols = None
+    if columns is not None:
+        cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
+    t = pq.read_table(
+        os.path.join(index_dir, "docs"), columns=cols,
+        filters=[("doc_id", "in", ids)],
+    )
+    return t.sort_by("doc_id")
+
+
 def best_fields_search(
     searchers: list["Searcher"], query: str, k: int = 10,
     tie_breaker: float = 0.0,

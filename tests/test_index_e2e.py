@@ -178,3 +178,24 @@ def test_query_scorer_actor_pool(built_index, oracle, sf_unit):
         ]
         got = sorted(by_q.get(q["query_id"], []))
         assert got == expect, q
+
+
+def test_fetch_docs_statistics_pruned(built_index, sf_unit):
+    """J6 fetch phase: stored columns for specific doc_ids, values equal to
+    the source corpus; unknown/tombstone-style ids simply don't appear."""
+    import pyarrow.parquet as pq_
+
+    from nmr_fair_dos_ray.search.engine import fetch_docs
+
+    idx, _, _ = built_index
+    corpus = pq_.read_table(sf_unit["corpus"]).to_pandas()
+    if "doc_id" not in corpus.columns:
+        corpus = corpus.reset_index().rename(columns={"index": "doc_id"})
+    want_ids = [3, 7, 42, 199, 10**9]  # last id is out of range
+    got = fetch_docs(idx, want_ids, columns=["repo", "path"]).to_pandas()
+    assert got["doc_id"].tolist() == [3, 7, 42, 199]
+    for _, row in got.iterrows():
+        src = corpus[corpus["doc_id"] == row["doc_id"]].iloc[0]
+        assert row["repo"] == src["repo"] and row["path"] == src["path"]
+    # column pruning: only requested columns + doc_id come back
+    assert sorted(got.columns) == ["doc_id", "path", "repo"]
