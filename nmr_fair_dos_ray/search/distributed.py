@@ -42,6 +42,7 @@ import numpy as np
 import ray
 
 from nmr_fair_dos_ray.search.bm25 import bm25_idf, bm25_term_scores
+from nmr_fair_dos_ray.search.engine import sorted_intersect
 from nmr_fair_dos_ray.tokenizer import Tokenizer, term_hash_one
 
 
@@ -276,7 +277,7 @@ class ShardedSearcher:
         allowed: np.ndarray | None = None
         for t in exact:
             docs = docs_of[t]
-            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
         if not terms:
             if allowed is None:
                 return []
@@ -387,7 +388,7 @@ class ShardedSearcher:
         allowed: np.ndarray | None = None
         for t in exact:
             docs = docs_of[t]
-            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
         return self._score_list(terms, k, allowed, after=after)
 
     def _positional_plists(self, phrase: str):
@@ -542,9 +543,9 @@ class ShardedSearcher:
         allowed: np.ndarray | None = None
         for t in exact:
             docs = self._docs_of(t)
-            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
         for docs in musts:
-            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
             if allowed.size == 0:
                 return []
         forbidden = np.unique(np.concatenate(nots)) if nots else None
@@ -580,8 +581,6 @@ class ShardedSearcher:
         scores the terms scatter-gather with the intersection as the
         ``allowed`` mask. Per-doc term scores are elementwise, so masking
         after scoring is bit-identical to scoring the intersection."""
-        from nmr_fair_dos_ray.search.engine import sorted_intersect
-
         terms, exact = self.tokenizer.tokenize_query(query)
         docs_of = self._docs_of_many(exact + terms)  # one RPC wave
         allowed: np.ndarray | None = None
@@ -608,8 +607,6 @@ class ShardedSearcher:
         ``ray.put``, and every slot counts its OWN ``field:*`` dictionary
         slice against the zero-copy match set in parallel; the dictionary
         is term-partitioned so the merged table has no duplicates."""
-        from nmr_fair_dos_ray.search.engine import sorted_intersect
-
         terms, exact = self.tokenizer.tokenize_query(query)
         docs_of = self._docs_of_many(terms + exact)  # one RPC wave
         matches: np.ndarray | None = None
@@ -637,7 +634,7 @@ class ShardedSearcher:
         allowed: np.ndarray | None = None
         for t in exact:
             docs = self._docs_of(t)
-            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not terms:
             return empty
@@ -674,7 +671,7 @@ class ShardedSearcher:
         allowed: np.ndarray | None = None
         for t in exact:
             docs = ray.get(self.actors[self._route(t)].exact_docs.remote(t))
-            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
         futs = [
             a.expand_fuzzy.remote(t, max_edits)
             for t in base for a in self.actors

@@ -1143,7 +1143,7 @@ class Searcher:
         allowed: np.ndarray | None = None
         for t in exact_terms:
             docs, _ = self.r.postings(t)
-            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
         return allowed
 
     # ---------------------------------------------------------- pagination
@@ -1257,7 +1257,7 @@ class Searcher:
 
         allowed = self._exact_candidates(exact)
         for docs in musts:
-            allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+            allowed = docs if allowed is None else sorted_intersect(allowed, docs)
             if allowed.size == 0:
                 return []
         forbidden = (
@@ -1332,7 +1332,7 @@ class Searcher:
             if docs.size == 0:
                 return []
             per_term.append((docs, tfs))
-            inter = docs if inter is None else np.intersect1d(inter, docs)
+            inter = docs if inter is None else sorted_intersect(inter, docs)
             if inter.size == 0:
                 return []
         acc = np.zeros(inter.size, np.float64)
@@ -1509,7 +1509,7 @@ class Searcher:
                 return np.empty(0, np.int64)
             matches = np.unique(np.concatenate(parts))
         if allowed is not None:
-            matches = allowed if matches is None else np.intersect1d(matches, allowed)
+            matches = allowed if matches is None else sorted_intersect(matches, allowed)
         if matches is None:
             return np.empty(0, np.int64)
         return matches
