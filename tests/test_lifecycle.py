@@ -285,3 +285,44 @@ def test_upsert_latest_retires_old_versions(idx, tmp_path):
         docs, _ = r.postings(f"path:{p}")
         if docs.size:  # path indexed as exact field? only via field_cols
             assert docs.size == 1
+
+
+def test_near_and_bestfields_exclude_deleted(idx):
+    """Round-4 query surfaces honor tombstones: proximity matches and
+    best_fields rankings never surface a deleted doc (frozen-stats scores
+    for the live ones)."""
+    from nmr_fair_dos_ray.search.engine import best_fields_search
+
+    s0 = Searcher(IndexReader(DIR))
+    near0 = s0.search_near("def return", k=10_000, slop=2)
+    assert near0, "fixture must match"
+    victims = [d for d, _ in near0[:3]]
+    delete_docs(DIR, victims)
+    s = Searcher(IndexReader(DIR))
+    dead = set(victims)
+    got = s.search_near("def return", k=10_000, slop=2)
+    assert all(d not in dead for d, _ in got)
+    # live docs keep identical chain counts
+    want = [(d, n) for d, n in near0 if d not in dead]
+    assert got == want
+    # best_fields over two searchers of the same (post-delete) index
+    bf = best_fields_search([s, s], "def return self", k=20)
+    assert all(d not in dead for d, _ in bf)
+
+
+def test_tombstone_range_reads_random(idx):
+    """Property-ish: random delete batches, then range reads must equal the
+    manual union-filter for arbitrary [lo, hi] windows."""
+    rng = np.random.RandomState(11)
+    all_ids: set[int] = set()
+    for _ in range(6):
+        batch = rng.choice(200, size=rng.randint(1, 30), replace=False)
+        delete_docs(DIR, batch.tolist())
+        all_ids.update(int(x) for x in batch)
+    for lo, hi in ((0, 199), (50, 60), (199, 199), (150, 10**9), (None, 90)):
+        got = read_tombstones(DIR, lo=lo, hi=hi)
+        want = sorted(
+            x for x in all_ids
+            if (lo is None or x >= lo) and (hi is None or x <= hi)
+        )
+        assert got.tolist() == want, (lo, hi)
