@@ -188,12 +188,28 @@ def _fit_and_assign(
 ):
     """Shared k-means-on-a-sample + per-batch centroid assignment:
     (centroids, assigned dataset). ``multi_tau`` switches to the margin
-    multi-assignment stage (near-dup's no-missed-pairs variant)."""
+    multi-assignment stage (near-dup's no-missed-pairs variant).
+
+    The sample is a SEEDED RANDOM sample, not the first N rows — at scale
+    ``limit(N)`` sees only the first block(s), and skewed centroids leave
+    clusters empty / unbalanced. ``count()`` on parquet sources is a
+    metadata read, so sizing the fraction is free. Deterministic for a
+    given input (fixed seed, deterministic block order)."""
     import ray
 
-    sample = _batch_matrix(
-        pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()), vec_col
+    n_total = max(vectors.count(), 1)
+    frac = min(1.0, (sample_rows * 1.25) / n_total)
+    sample_ds = (
+        vectors.random_sample(frac, seed=7) if frac < 1.0 else vectors
     )
+    sample = _batch_matrix(
+        pa.Table.from_pandas(sample_ds.limit(sample_rows).to_pandas()), vec_col
+    )
+    if sample.shape[0] == 0:  # pathological tiny fraction: fall back
+        sample = _batch_matrix(
+            pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()),
+            vec_col,
+        )
     centroids = kmeans_fit(sample, n_clusters)
     cref = ray.put(centroids)
     if multi_tau is None:
