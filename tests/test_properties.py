@@ -265,3 +265,42 @@ def test_near_intersect_matches_reachable_set_bruteforce(seed, n_terms, slop):
         pd_, pc_ = phrase_intersect(terms, plists)
         np.testing.assert_array_equal(docs, pd_)
         np.testing.assert_array_equal(counts, pc_)
+
+
+@given(st.binary(max_size=300), st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=80, deadline=None)
+def test_video_decode_never_raises_unexpected(payload, seed):
+    """Any byte string either decodes or raises ValueError — the dead-letter
+    contract: no struct.error / IndexError may escape the container
+    parsers. Also fuzzes MUTATED valid containers (worse than random
+    bytes: they pass the magic checks)."""
+    from nmr_fair_dos_ray.stages.multimodal import (
+        decode_video_frames, synth_mjpeg_avi, synth_y4m,
+    )
+
+    rng = np.random.RandomState(seed)
+    candidates = [payload]
+    for maker in (lambda: synth_mjpeg_avi(seed % 97, w=8, h=8, n_frames=2),
+                  lambda: synth_y4m(seed % 97, w=4, h=4, n_frames=2)):
+        buf = bytearray(maker())
+        for _ in range(3):  # corrupt a few bytes / truncate
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        candidates.append(bytes(buf[: rng.randint(1, len(buf) + 1)]))
+    for c in candidates:
+        try:
+            decode_video_frames(c, every_nth=1, max_frames=2)
+        except ValueError:
+            pass  # dead-letter: the one allowed failure mode
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=120, deadline=None)
+def test_parse_query_string_total(q):
+    """The grammar parser is TOTAL over arbitrary text: it never raises and
+    always yields (sign, kind, body) triples with known kinds."""
+    from nmr_fair_dos_ray.search.engine import parse_query_string
+
+    for sign, kind, body in parse_query_string(q):
+        assert sign in ("", "+", "-")
+        assert kind in ("phrase", "field", "fuzzy", "prefix", "terms")
+        assert isinstance(body, str)
