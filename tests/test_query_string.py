@@ -194,3 +194,14 @@ def test_combined_grammar(s):
     want = [(d, sc) for d, sc in full if d in need and d not in excl][:10]
     assert want, "combined query must keep some hits"
     assert got == want
+
+
+def test_search_query_total_over_weird_inputs(s):
+    """search_query never raises on malformed grammar — every atom
+    degrades to a phrase/terms interpretation or an empty result."""
+    weird = ['"', '"a', '~', '~2', '+', '-', '*', 'a~x', ':', 'lang:',
+             '+*', '-"', 'a"b', '""~3', '"a b"~', '+~2 -*', '""',
+             'self "unclosed', '-"also unclosed']
+    for q in weird:
+        hits = s.search_query(q, k=3)
+        assert isinstance(hits, list), q
