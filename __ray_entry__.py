@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_and_search": dp.q_and_search,
         "q_delete_search": dp.q_delete_search,
         "q_prefix_search": dp.q_prefix_search,
+        "q_regex_search": dp.q_regex_search,
         "q_fuzzy_search": dp.q_fuzzy_search,
         "q_query_string": dp.q_query_string,
         "q_snippets": dp.q_snippets,
@@ -416,6 +417,39 @@ def oracle_sql() -> dict[str, str]:
             tf AS (
                 SELECT doc_id, term, count(*) AS tf FROM toks
                 WHERE term LIKE 's%'
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+        """,
+        "q_regex_search": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE regexp_matches(term, '^(?:s.+(ow|an|rt))$')
                 GROUP BY doc_id, term
             ),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -96,6 +96,8 @@ def cmd_search(args: argparse.Namespace) -> int:
         hits = s.search_near(args.query, k=args.k, slop=args.slop)
     elif mode == "prefix":
         hits = s.search_prefix(args.query, k=args.k)
+    elif mode == "regex":
+        hits = s.search_regex(args.query, k=args.k)
     elif mode == "fuzzy":
         hits = s.search_fuzzy(args.query, k=args.k, max_edits=args.max_edits)
     else:  # query-string grammar (+term -term "phrase" field:v pref* term~)
@@ -186,13 +188,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--algorithm", choices=("bmw", "taat"), default="bmw")
     s.add_argument(
         "--mode",
-        choices=("bm25", "and", "phrase", "near", "prefix", "fuzzy",
-                 "query", "best_fields"),
+        choices=("bm25", "and", "phrase", "near", "prefix", "regex",
+                 "fuzzy", "query", "best_fields"),
         default="bm25",
         help="query type: ranked disjunction, conjunctive, exact phrase, "
-             "ordered proximity (--slop), prefix expansion, fuzzy "
-             "(Levenshtein) expansion, the full query-string grammar, or "
-             "multi-field dis-max over repeated --index",
+             "ordered proximity (--slop), prefix expansion, anchored-regex "
+             "expansion, fuzzy (Levenshtein) expansion, the full "
+             "query-string grammar, or multi-field dis-max over repeated "
+             "--index",
     )
     s.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
     s.add_argument("--slop", type=int, default=0,

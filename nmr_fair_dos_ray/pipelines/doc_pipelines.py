@@ -247,6 +247,26 @@ def q_prefix_search(sf_dir: str) -> pd.DataFrame:
     )
 
 
+REGEX_QUERY = "s.+(ow|an|rt)"  # slow/scan/sort-shaped dictionary terms
+
+
+def q_regex_search(sf_dir: str) -> pd.DataFrame:
+    """Regex-query top-10 (ES ``regexp`` with scoring_boolean rewrite):
+    anchored-pattern dictionary expansion (one vectorized Arrow regex scan)
+    then ordinary disjunctive BM25 — the oracle is the q_bm25_top10 SQL
+    with ``regexp_matches(term, '^(...)$')`` instead of a term list (both
+    sides are RE2)."""
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    hits = s.search_regex(REGEX_QUERY, k=10)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
 def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
     """Fuzzy top-10 (ES ``fuzziness`` analog): every query term expands to
     index terms within Levenshtein distance 1 (SymSpell deletion index +

@@ -187,6 +187,12 @@ class ShardActor:
         the terms) on first use."""
         return self.reader.expand_fuzzy(term, max_edits)
 
+    def expand_regex(self, pattern: str, max_expansions: int | None) -> list[str]:
+        """Anchored-regex expansion over THIS slot's dictionary slice — the
+        union over slots is the global expansion (same parallel-scan shape
+        as prefix)."""
+        return self.reader.expand_regex(pattern, max_expansions)
+
     def positions(self, term: str, candidates: np.ndarray | None = None):
         """Decoded (tombstone-masked) positional postings of an owned term —
         the per-term fetch behind distributed phrase matching. With
@@ -562,6 +568,23 @@ class ShardedSearcher:
         return self._score_list(
             self._expand_prefix_global(prefix.strip().lower(), max_expansions), k
         )
+
+    def search_regex(
+        self, pattern: str, k: int = 10, max_expansions: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Distributed regex query — every slot scans its ~1/P of the term
+        dictionary with the anchored pattern in parallel (same shape as
+        prefix: per-slot top-N by df is a superset contributor, router
+        re-caps exactly). Bit-equal to the local
+        :meth:`Searcher.search_regex`."""
+        futs = [a.expand_regex.remote(pattern, max_expansions)
+                for a in self.actors]
+        terms = sorted(set().union(*[set(x) for x in ray.get(futs)]))
+        if max_expansions is not None and len(terms) > max_expansions:
+            meta = self._term_meta(terms)
+            top = sorted(terms, key=lambda t: (-meta[t][0], t))[:max_expansions]
+            terms = sorted(top)
+        return self._score_list(terms, k)
 
     def _expand_prefix_global(
         self, prefix: str, max_expansions: int | None

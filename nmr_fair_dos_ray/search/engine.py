@@ -437,6 +437,37 @@ class IndexReader:
             terms = sorted(np.array(terms)[order].tolist())
         return terms
 
+    def expand_regex(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[str]:
+        """Index terms whose WHOLE text matches ``pattern`` (the ES
+        ``regexp``/``wildcard`` query's anchored semantics), for a
+        regex-query rewrite onto the scored-disjunction primitives.
+
+        One vectorized ``pc.match_substring_regex`` scan over the Arrow
+        term dictionary with an anchored pattern — no per-term Python.
+        Synthetic exact-field terms are excluded; the ``max_expansions``
+        cap keeps the top terms by (df desc, term asc) then re-sorts
+        ascending, exactly like :meth:`expand_prefix`. Invalid patterns
+        raise ``ValueError``."""
+        try:
+            hits = pc.match_substring_regex(
+                self._terms_arr, f"^(?:{pattern})$"
+            ).to_numpy(zero_copy_only=False)
+        except pa.lib.ArrowInvalid as e:
+            raise ValueError(f"invalid regex pattern {pattern!r}: {e}") from e
+        terms = sorted(
+            t for t in self._terms_arr.take(
+                pa.array(np.flatnonzero(hits))
+            ).to_pylist()
+            if ":" not in t
+        )
+        if max_expansions is not None and len(terms) > max_expansions:
+            dfs = np.array([int(self._df[self._lookup(t)]) for t in terms])
+            order = np.lexsort((np.array(terms), -dfs))[:max_expansions]
+            terms = sorted(np.array(terms)[order].tolist())
+        return terms
+
     def expand_fuzzy(self, term: str, max_edits: int = 1) -> list[str]:
         """Index terms within Levenshtein distance ``max_edits`` of ``term``
         (the ES ``fuzziness`` expansion), via a SymSpell-style deletion
@@ -1284,6 +1315,23 @@ class Searcher:
         memoized vectorized dictionary scan; scoring cost is the expanded
         lists' postings (``max_expansions`` caps it, ES ``top_terms_N``)."""
         terms = self.r.expand_prefix(prefix.strip().lower(), max_expansions)
+        if not terms:
+            return []
+        return self._taat(terms, k, None)
+
+    # -------------------------------------------------------------- regex
+    def search_regex(
+        self, pattern: str, k: int = 10, max_expansions: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Regex-query top-k (the ES ``regexp`` query with
+        ``rewrite=scoring_boolean``): terms whose whole text matches
+        ``pattern`` expand over the dictionary (one vectorized Arrow regex
+        scan) and score as an ordinary disjunction in sorted term order —
+        bit-equal to :meth:`search` over the expanded terms spelled out,
+        and SQL-expressible as ``regexp_matches(term, '^(...)$')`` over
+        tokenized docs. ``max_expansions`` caps by (df desc, term asc),
+        ES ``top_terms_N``."""
+        terms = self.r.expand_regex(pattern, max_expansions)
         if not terms:
             return []
         return self._taat(terms, k, None)

@@ -164,3 +164,44 @@ def test_search_after_pagination(idx):
     p1 = s.search_after(lv, k=5)
     p2 = s.search_after(lv, k=5, after=(0.0, p1[-1][0]))
     assert [d for d, _ in p1 + p2] == all_docs[:10]
+
+
+# ------------------------------------------------------------------ regex
+def test_regex_expansion_matches_brute_force(idx):
+    import re
+
+    for pat in ("conf.*", "s.+(et|elf)", "(get|set)[a-z]*", "zz.*9"):
+        want = sorted(
+            t for t in idx.terms if ":" not in t
+            and re.fullmatch(pat, t) is not None
+        )
+        assert idx.expand_regex(pat) == want, pat
+    with pytest.raises(ValueError, match="invalid regex"):
+        idx.expand_regex("(unclosed")
+
+
+def test_regex_search_equals_explicit_disjunction(idx):
+    s = Searcher(idx)
+    terms = idx.expand_regex("conf.*")
+    assert terms
+    assert s.search_regex("conf.*", k=10) == s._taat(terms, 10, None)
+    # cap: top-N by (df desc, term asc), bit-equal to spelling those out
+    capped = idx.expand_regex("[a-z]{4,}", max_expansions=7)
+    assert len(capped) == 7
+    assert s.search_regex("[a-z]{4,}", k=10, max_expansions=7) == \
+        s._taat(capped, 10, None)
+    assert s.search_regex("zzqxneverx.*", k=10) == []
+
+
+def test_sharded_regex_matches_local(idx):
+    from nmr_fair_dos_ray.search.distributed import ShardedSearcher
+
+    s = Searcher(idx)
+    pool = ShardedSearcher(DIR, pool_size=2)
+    try:
+        for pat in ("conf.*", "(get|set)[a-z]*", "[a-z]{4,}", "zzqx.*"):
+            for cap in (None, 5):
+                assert pool.search_regex(pat, k=10, max_expansions=cap) == \
+                    s.search_regex(pat, k=10, max_expansions=cap), (pat, cap)
+    finally:
+        pool.shutdown()
