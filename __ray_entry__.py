@@ -1,12 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — 54 callables, one per implemented operator/pipeline
+sf0.001. ``queries()`` — 55 callables, one per implemented operator/pipeline
 from SURVEY.md §2 (incl. the M1-M11 extraction family, the round-3 document
 lifecycle, the prefix/fuzzy/query-string/snippet/proximity/best_fields
 search surface and the persisted-IVF similarity index) plus the
 training-data operators; each takes ``sf_dir`` and returns a DataFrame.
-``oracle_sql()`` — the DuckDB-equivalent SQL for the 45 SQL-expressible
+``oracle_sql()`` — the DuckDB-equivalent SQL for the 46 SQL-expressible
 queries (same column names, same rounding); non-SQL-expressible pipelines
 (LSH bucketing, SimHash banding, heuristic language-ID, IVF recall,
 binary multimodal decode) are intentionally omitted there → rows-only check.
