@@ -326,8 +326,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     instead of failing its map_batches task — the M17 pattern)."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error) as e:
-        raise ValueError(f"truncated/corrupt JPEG: {e}") from e
+    except (IndexError, struct.error, KeyError, StopIteration) as e:
+        # KeyError: scan references an undefined quant/Huffman table;
+        # the others: truncated/corrupt byte streams
+        raise ValueError(f"truncated/corrupt JPEG: {e!r}") from e
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
@@ -392,7 +394,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si : 3 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:  # scan references a component SOF lacks
+                    raise ValueError(f"SOS component id {cs} not in frame")
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             return _decode_scan(payload, pos, frame, scan, qt, huff,
                                 restart_interval)
