@@ -483,18 +483,22 @@ class VideoFrameSampleStage:
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """Dispatch to the REAL pure-numpy/stdlib image decoders
-    (PPM/BMP/PNG/baseline-JPEG). Unrecognized containers raise ValueError
-    so the stage dead-letters the row (the M17 pattern)."""
-    if payload.startswith(b"P6"):
-        return decode_ppm(payload)
-    if payload.startswith(b"BM"):
-        return decode_bmp(payload)
-    if payload.startswith(b"\x89PNG"):
-        return decode_png(payload)
-    if payload.startswith(b"\xff\xd8"):
-        from nmr_fair_dos_ray.stages.jpeg import decode_jpeg
+    (PPM/BMP/PNG/baseline-JPEG). Corrupt or unrecognized containers raise
+    ValueError ONLY, so the stage dead-letters the row (the M17 pattern;
+    zlib/struct/index errors from truncated streams are wrapped)."""
+    try:
+        if payload.startswith(b"P6"):
+            return decode_ppm(payload)
+        if payload.startswith(b"BM"):
+            return decode_bmp(payload)
+        if payload.startswith(b"\x89PNG"):
+            return decode_png(payload)
+        if payload.startswith(b"\xff\xd8"):
+            from nmr_fair_dos_ray.stages.jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
+            return decode_jpeg(payload)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt image payload: {e!r}") from e
     raise ValueError(
         "unrecognized image container (PPM/BMP/PNG/baseline-JPEG supported)"
     )

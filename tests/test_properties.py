@@ -304,3 +304,30 @@ def test_parse_query_string_total(q):
         assert sign in ("", "+", "-")
         assert kind in ("phrase", "field", "fuzzy", "prefix", "terms")
         assert isinstance(body, str)
+
+
+@given(st.binary(max_size=200), st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=80, deadline=None)
+def test_image_decode_never_raises_unexpected(payload, seed):
+    """Corrupt image payloads (random bytes AND mutated valid PNG/JPEG/BMP/
+    PPM containers) must decode or raise ValueError only."""
+    from nmr_fair_dos_ray.stages.multimodal import (
+        _decode_image_real, encode_png,
+    )
+    from nmr_fair_dos_ray.stages.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    candidates = [payload]
+    # hand-rolled P6/BMP headers keep the magic valid while fuzzing bodies
+    candidates.append(b"P6 5 6 255\n" + img.tobytes())
+    for enc in (encode_png, encode_jpeg):
+        buf = bytearray(enc(img))
+        for _ in range(3):
+            buf[rng.randint(len(buf))] = rng.randint(256)
+        candidates.append(bytes(buf[: rng.randint(1, len(buf) + 1)]))
+    for c in candidates:
+        try:
+            _decode_image_real(c)
+        except ValueError:
+            pass
