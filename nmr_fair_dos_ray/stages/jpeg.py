@@ -326,8 +326,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     instead of failing its map_batches task — the M17 pattern)."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error, KeyError, StopIteration) as e:
+    except (IndexError, struct.error, KeyError, StopIteration,
+            OverflowError) as e:
         # KeyError: scan references an undefined quant/Huffman table;
+        # OverflowError: corrupt DC deltas accumulating past int64;
         # the others: truncated/corrupt byte streams
         raise ValueError(f"truncated/corrupt JPEG: {e!r}") from e
 
@@ -434,6 +436,10 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, np.int64)
                         cat = _read_huff_value(r, dct)
+                        if cat > 16:  # 8-bit baseline DC category <= 11;
+                            raise ValueError(  # larger = corrupt table/stream
+                                f"DC category {cat} out of range"
+                            )
                         diff = _extend(r.read_bits(cat), cat) if cat else 0
                         prev_dc[si] += diff
                         zz[0] = prev_dc[si]
