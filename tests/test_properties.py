@@ -331,3 +331,25 @@ def test_image_decode_never_raises_unexpected(payload, seed):
             _decode_image_real(c)
         except ValueError:
             pass
+
+
+@given(st.binary(max_size=200), st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_audio_stage_never_raises(payload, seed):
+    """AudioFrameSampleStage dead-letters any corrupt payload (random bytes
+    and mutated/truncated valid WAVs) instead of crashing the task."""
+    import pyarrow as pa
+
+    from nmr_fair_dos_ray.stages.multimodal import (
+        AudioFrameSampleStage, synth_wav,
+    )
+
+    rng = np.random.RandomState(seed)
+    buf = bytearray(synth_wav(seed % 89))
+    for _ in range(3):
+        buf[rng.randint(len(buf))] = rng.randint(256)
+    t = pa.table({"payload": pa.array(
+        [payload, bytes(buf[: rng.randint(1, len(buf) + 1)])], pa.binary()
+    )})
+    out = AudioFrameSampleStage(stride=10, frame_count=4)(t)
+    assert out.num_rows == 2  # every row yields a row, decoded or not
