@@ -205,3 +205,31 @@ def test_search_query_total_over_weird_inputs(s):
     for q in weird:
         hits = s.search_query(q, k=3)
         assert isinstance(hits, list), q
+
+
+def test_all_search_surfaces_total_over_random_text(s):
+    """Every query entry point accepts arbitrary short text without raising
+    (deterministic pseudo-random corpus of queries incl. punctuation,
+    unicode, operators)."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abc XYZ_09 +-*~:\"'()[]{}|\\/.,;!?@#$%^&=<>é中"
+    queries = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for _ in range(120)
+    ]
+    for q in queries:
+        for fn in (
+            lambda q: s.search(q, k=3),
+            lambda q: s.search(q, k=3, algorithm="taat"),
+            lambda q: s.search_and(q, k=3),
+            lambda q: s.search_phrase(q, k=3),
+            lambda q: s.search_near(q, k=3, slop=2),
+            lambda q: s.search_prefix(q, k=3),
+            lambda q: s.search_fuzzy(q, k=3),
+            lambda q: s.search_query(q, k=3),
+            lambda q: s.search_after(q, k=3),
+            lambda q: s.facet_counts(q, "lang"),
+        ):
+            assert isinstance(fn(q), list), q
