@@ -98,6 +98,8 @@ def cmd_search(args: argparse.Namespace) -> int:
         hits = s.search_prefix(args.query, k=args.k)
     elif mode == "regex":
         hits = s.search_regex(args.query, k=args.k)
+    elif mode == "wildcard":
+        hits = s.search_wildcard(args.query, k=args.k)
     elif mode == "fuzzy":
         hits = s.search_fuzzy(args.query, k=args.k, max_edits=args.max_edits)
     else:  # query-string grammar (+term -term "phrase" field:v pref* term~)
@@ -189,7 +191,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument(
         "--mode",
         choices=("bm25", "and", "phrase", "near", "prefix", "regex",
-                 "fuzzy", "query", "best_fields"),
+                 "wildcard", "fuzzy", "query", "best_fields"),
         default="bm25",
         help="query type: ranked disjunction, conjunctive, exact phrase, "
              "ordered proximity (--slop), prefix expansion, anchored-regex "

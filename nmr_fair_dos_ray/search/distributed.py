@@ -586,6 +586,15 @@ class ShardedSearcher:
             terms = sorted(top)
         return self._score_list(terms, k)
 
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Distributed wildcard query — the ES ``wildcard`` analog, rewritten
+        onto :meth:`search_regex` (bit-equal to local)."""
+        from nmr_fair_dos_ray.search.engine import wildcard_to_regex
+
+        return self.search_regex(wildcard_to_regex(pattern), k, max_expansions)
+
     def _expand_prefix_global(
         self, prefix: str, max_expansions: int | None
     ) -> list[str]:

@@ -723,6 +723,22 @@ class IndexReader:
         return out
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """ES ``wildcard`` pattern → anchored-regex body: ``*`` → ``.*``,
+    ``?`` → ``.``, every other character escaped literally."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
 def sorted_lookup(a: np.ndarray, sorted_b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """For each element of ``a``: its searchsorted position in sorted-unique
     ``sorted_b`` and whether it is actually present — the shared
@@ -1335,6 +1351,15 @@ class Searcher:
         if not terms:
             return []
         return self._taat(terms, k, None)
+
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Wildcard top-k (the ES ``wildcard`` query): ``*`` matches any
+        run, ``?`` any single character, everything else literal — rewritten
+        onto :meth:`search_regex` (same anchored-expansion + scored
+        disjunction, bit-equal to spelling the matches out)."""
+        return self.search_regex(wildcard_to_regex(pattern), k, max_expansions)
 
     # -------------------------------------------------------------- fuzzy
     def search_fuzzy(

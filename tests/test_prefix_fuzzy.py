@@ -205,3 +205,28 @@ def test_sharded_regex_matches_local(idx):
                     s.search_regex(pat, k=10, max_expansions=cap), (pat, cap)
     finally:
         pool.shutdown()
+
+
+def test_wildcard_rewrites_onto_regex(idx):
+    from nmr_fair_dos_ray.search.engine import wildcard_to_regex
+
+    s = Searcher(idx)
+    assert wildcard_to_regex("con*g?") == "con.*g."
+    assert wildcard_to_regex("a.b*") == "a\\.b.*"  # dot escaped literally
+    assert s.search_wildcard("conf*", k=10) == s.search_regex("conf.*", k=10)
+    got = s.search_wildcard("?et*", k=10)
+    assert got == s.search_regex(".et.*", k=10)
+    assert s.search_wildcard("zzqxnope*", k=10) == []
+
+
+def test_sharded_wildcard_matches_local(idx):
+    from nmr_fair_dos_ray.search.distributed import ShardedSearcher
+
+    s = Searcher(idx)
+    pool = ShardedSearcher(DIR, pool_size=2)
+    try:
+        for pat in ("conf*", "?et*", "g*t", "zzqx*"):
+            assert pool.search_wildcard(pat, k=10) == \
+                s.search_wildcard(pat, k=10), pat
+    finally:
+        pool.shutdown()
