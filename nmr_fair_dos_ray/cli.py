@@ -79,31 +79,26 @@ def cmd_search(args: argparse.Namespace) -> int:
         hits = best_fields_search(
             searchers, args.query, k=args.k, tie_breaker=args.tie_breaker
         )
-        print(json.dumps(
-            {"query": args.query, "mode": mode, "fields": len(dirs),
-             "hits": [{"rank": i + 1, "doc_id": d, "score": sc}
-                      for i, (d, sc) in enumerate(hits)]}
-        ))
-        return 0
-    s = Searcher(IndexReader(dirs[0]))
-    if mode == "bm25":
-        hits = s.search(args.query, k=args.k, algorithm=args.algorithm)
-    elif mode == "and":
-        hits = s.search_and(args.query, k=args.k)
-    elif mode == "phrase":
-        hits = s.search_phrase(args.query, k=args.k)
-    elif mode == "near":
-        hits = s.search_near(args.query, k=args.k, slop=args.slop)
-    elif mode == "prefix":
-        hits = s.search_prefix(args.query, k=args.k)
-    elif mode == "regex":
-        hits = s.search_regex(args.query, k=args.k)
-    elif mode == "wildcard":
-        hits = s.search_wildcard(args.query, k=args.k)
-    elif mode == "fuzzy":
-        hits = s.search_fuzzy(args.query, k=args.k, max_edits=args.max_edits)
-    else:  # query-string grammar (+term -term "phrase" field:v pref* term~)
-        hits = s.search_query(args.query, k=args.k)
+    else:
+        s = Searcher(IndexReader(dirs[0]))
+        if mode == "bm25":
+            hits = s.search(args.query, k=args.k, algorithm=args.algorithm)
+        elif mode == "and":
+            hits = s.search_and(args.query, k=args.k)
+        elif mode == "phrase":
+            hits = s.search_phrase(args.query, k=args.k)
+        elif mode == "near":
+            hits = s.search_near(args.query, k=args.k, slop=args.slop)
+        elif mode == "prefix":
+            hits = s.search_prefix(args.query, k=args.k)
+        elif mode == "regex":
+            hits = s.search_regex(args.query, k=args.k)
+        elif mode == "wildcard":
+            hits = s.search_wildcard(args.query, k=args.k)
+        elif mode == "fuzzy":
+            hits = s.search_fuzzy(args.query, k=args.k, max_edits=args.max_edits)
+        else:  # query-string grammar (+term -term "phrase" field:v pref* term~)
+            hits = s.search_query(args.query, k=args.k)
     rows = [{"rank": i + 1, "doc_id": d, "score": sc}
             for i, (d, sc) in enumerate(hits)]
     if args.fetch and rows:

@@ -198,16 +198,21 @@ def _fit_and_assign(
     import ray
 
     n_total = max(vectors.count(), 1)
-    frac = min(1.0, (sample_rows * 1.25) / n_total)
+    frac = min(1.0, sample_rows / n_total)
     sample_ds = (
         vectors.random_sample(frac, seed=7) if frac < 1.0 else vectors
     )
+    # NO limit() after the sample: limit keeps the FIRST rows in block
+    # order, re-introducing the positional skew the random sample removes.
+    # The Bernoulli sample size varies ±√n around sample_rows — irrelevant
+    # to k-means.
     sample = _batch_matrix(
-        pa.Table.from_pandas(sample_ds.limit(sample_rows).to_pandas()), vec_col
+        pa.Table.from_pandas(sample_ds.to_pandas()), vec_col
     )
-    if sample.shape[0] == 0:  # pathological tiny fraction: fall back
+    if sample.shape[0] < n_clusters:  # tiny/empty draw: take a full pass
         sample = _batch_matrix(
-            pa.Table.from_pandas(vectors.limit(sample_rows).to_pandas()),
+            pa.Table.from_pandas(vectors.limit(max(sample_rows, n_clusters))
+                                 .to_pandas()),
             vec_col,
         )
     centroids = kmeans_fit(sample, n_clusters)

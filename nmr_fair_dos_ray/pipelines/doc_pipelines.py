@@ -84,13 +84,15 @@ def documents_title_index(sf_dir: str) -> str:
     field's avgdl, not the body's)."""
     idx_dir = f"/tmp/nmr_fair_dos_ray/docindex/{_tag(sf_dir)}-title"
     tdir = f"/tmp/nmr_fair_dos_ray/doctitle/{_tag(sf_dir)}"
-    done = tdir + ".done"  # beside tdir: the dir itself holds only parquet
-    if not os.path.exists(done):
-        # a crashed derive leaves partial files; Ray write_parquet appends,
-        # so wipe and rewrite — the marker lands only after a full write
+    if not os.path.isdir(tdir):
+        # write-to-tmp then ATOMIC RENAME: tdir either doesn't exist or is
+        # complete — a crashed derive leaves only a stray tmp dir, and two
+        # concurrent builders can't rmtree each other's in-progress writes
+        # (the rename loser just discards its copy)
         import shutil
 
-        shutil.rmtree(tdir, ignore_errors=True)
+        tmp = f"{tdir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
 
         def derive(b: pa.Table) -> pa.Table:
             toks = pc.split_pattern_regex(
@@ -110,10 +112,12 @@ def documents_title_index(sf_dir: str) -> str:
                 columns=["doc_id", "text", "source", "lang"],
             )
             .map_batches(derive, batch_format="pyarrow")
-            .write_parquet(tdir)
+            .write_parquet(tmp)
         )
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(tmp, tdir)
+        except OSError:  # concurrent builder won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
     build_index(tdir, idx_dir, replace(DOC_INDEX_CFG, content_col="title"),
                 resume=True)
     return idx_dir

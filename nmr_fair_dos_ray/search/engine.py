@@ -1830,11 +1830,24 @@ def fetch_docs(
     row groups whose parquet doc_id statistics intersect the request —
     build partitions assign contiguous docIDs (prefix-sum), so ranges are
     disjoint and a k-doc fetch touches O(k) row groups, not the corpus.
-    Returns a doc_id-sorted table; tombstoned ids simply don't appear if
-    the caller passes them (hits from a Searcher are already masked)."""
+    Returns a doc_id-sorted table. Tombstoned (deleted) ids never appear —
+    the delete set is consulted explicitly (the doc store keeps dead rows
+    until compaction), matching the ES GET-after-DELETE 404 semantics."""
     import pyarrow.parquet as pq
 
+    from nmr_fair_dos_ray.pipelines.lifecycle import read_tombstones
+
     ids = sorted({int(d) for d in doc_ids})
+    if ids:
+        tomb = read_tombstones(index_dir, lo=ids[0], hi=ids[-1])
+        if tomb.size:
+            dead = set(tomb.tolist())
+            ids = [d for d in ids if d not in dead]
+    if not ids:
+        schema_cols = columns or []
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         **{c: pa.array([], pa.string()) for c in schema_cols
+                            if c != "doc_id"}})
     cols = None
     if columns is not None:
         cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
@@ -1950,6 +1963,10 @@ class QueryScorer:
             return s.search_near(query, k=k, slop=self.slop)
         if mode == "prefix":
             return s.search_prefix(query, k=k)
+        if mode == "regex":
+            return s.search_regex(query, k=k)
+        if mode == "wildcard":
+            return s.search_wildcard(query, k=k)
         if mode == "fuzzy":
             return s.search_fuzzy(query, k=k)
         if mode == "query":

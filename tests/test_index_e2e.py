@@ -199,3 +199,19 @@ def test_fetch_docs_statistics_pruned(built_index, sf_unit):
         assert row["repo"] == src["repo"] and row["path"] == src["path"]
     # column pruning: only requested columns + doc_id come back
     assert sorted(got.columns) == ["doc_id", "path", "repo"]
+
+
+def test_fetch_docs_excludes_tombstoned(sf_unit, tmp_path):
+    """ES GET-after-DELETE 404 semantics: fetch never returns deleted docs
+    even before compaction physically removes them from the doc store."""
+    from nmr_fair_dos_ray.pipelines.lifecycle import delete_docs
+    from nmr_fair_dos_ray.search.engine import fetch_docs
+
+    idx = str(tmp_path / "idx")
+    build_index(sf_unit["corpus"], idx, CFG)
+    delete_docs(idx, [3, 7])
+    got = fetch_docs(idx, [3, 7, 11], columns=["repo"]).to_pandas()
+    assert got["doc_id"].tolist() == [11]
+    # all-deleted request: typed empty result
+    got2 = fetch_docs(idx, [3, 7], columns=["repo"]).to_pandas()
+    assert len(got2) == 0 and list(got2.columns) == ["doc_id", "repo"]
