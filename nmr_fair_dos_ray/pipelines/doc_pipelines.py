@@ -22,7 +22,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min, Sum
 

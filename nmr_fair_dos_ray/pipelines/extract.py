@@ -32,7 +32,6 @@ repo type with :func:`register_extractor`, no pipeline edits.
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Callable
 
 import pyarrow as pa

@@ -59,10 +59,10 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from nmr_fair_dos_ray.codec import BLOCK_SIZE, encode_group_blocks
-from nmr_fair_dos_ray.search.bm25 import BM25Params, bm25_idf
+from nmr_fair_dos_ray.search.bm25 import bm25_idf
 from nmr_fair_dos_ray.sources.parquet_source import corpus_paths, read_work_item, work_items
 from nmr_fair_dos_ray.state.manifest import (
-    Manifest, PartitionLog, atomic_write_bytes, fingerprint_files,
+    Manifest, PartitionLog, fingerprint_files,
 )
 from nmr_fair_dos_ray.tokenizer import Tokenizer, term_hash
 

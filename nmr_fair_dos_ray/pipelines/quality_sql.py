@@ -10,7 +10,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data as rd
 
 from nmr_fair_dos_ray.functions.rounding import round_half_away
 

@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from nmr_fair_dos_ray.codec import delta_decode, varint_decode
+from nmr_fair_dos_ray.codec import varint_decode
 
 _MISS = object()  # sentinel distinguishing "not cached" from "cached None"
 from nmr_fair_dos_ray.search.bm25 import bm25_idf, bm25_term_scores

@@ -32,7 +32,6 @@ import json
 from datetime import datetime, timedelta
 
 import pyarrow as pa
-import ray.data as rd
 from ray.data import Dataset
 
 _EPOCH = datetime(2024, 1, 1)
