@@ -1,12 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — 55 callables, one per implemented operator/pipeline
+sf0.001. ``queries()`` — 56 callables, one per implemented operator/pipeline
 from SURVEY.md §2 (incl. the M1-M11 extraction family, the round-3 document
 lifecycle, the prefix/fuzzy/query-string/snippet/proximity/best_fields
 search surface and the persisted-IVF similarity index) plus the
 training-data operators; each takes ``sf_dir`` and returns a DataFrame.
-``oracle_sql()`` — the DuckDB-equivalent SQL for the 46 SQL-expressible
+``oracle_sql()`` — the DuckDB-equivalent SQL for the 47 SQL-expressible
 queries (same column names, same rounding); non-SQL-expressible pipelines
 (LSH bucketing, SimHash banding, heuristic language-ID, IVF recall,
 binary multimodal decode) are intentionally omitted there → rows-only check.
@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_df_top_terms": dp.q_df_top_terms,
         "q_corpus_stats": dp.q_corpus_stats,
         "q_bm25_top10": dp.q_bm25_top10,
+        "q_search_count": dp.q_search_count,
         "q_exact_lookup": dp.q_exact_lookup,
         "q_phrase_search": dp.q_phrase_search,
         "q_near_search": dp.q_near_search,
@@ -292,6 +293,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
                    round(sum(n) * 1.0 / count(*), 4) AS avgdl
             FROM counts
+        """,
+        # ES _count analog: |union of term postings ∩ exact filters|, no
+        # scoring. Query 1 adds an exact source filter; query 2 matches none.
+        "q_search_count": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            m0 AS (
+                SELECT count(DISTINCT doc_id) AS n FROM toks
+                WHERE term IN ('data', 'pipeline', 'query')
+            ),
+            m1 AS (
+                SELECT count(DISTINCT t.doc_id) AS n
+                FROM toks t JOIN documents d USING (doc_id)
+                WHERE t.term = 'data' AND d.source = 'src3'
+            )
+            SELECT * FROM (
+                SELECT 0 AS query_id, n::BIGINT AS n_matches FROM m0
+                UNION ALL SELECT 1, n::BIGINT FROM m1
+                UNION ALL SELECT 2, 0::BIGINT
+            ) ORDER BY query_id
         """,
         "q_bm25_top10": f"""
             WITH toks AS (

@@ -144,6 +144,18 @@ def q_best_fields(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_search_count(sf_dir: str) -> pd.DataFrame:
+    """Matching-doc counts (ES ``_count``) for three queries — the match
+    set |union of term postings ∩ exact filters| without scoring."""
+    idx = documents_index(sf_dir)
+    s = Searcher(IndexReader(idx))
+    qs = [BM25_QUERY, "data source:src3", "zzqxnevermatches"]
+    return pd.DataFrame({
+        "query_id": list(range(len(qs))),
+        "n_matches": [s.count(q) for q in qs],
+    })
+
+
 def q_df_top_terms(sf_dir: str) -> pd.DataFrame:
     """Document frequency per term, top 50 (df desc, term asc) — the core
     postings statistic (SURVEY.md §2.7 engine rows)."""

@@ -1587,6 +1587,11 @@ class Searcher:
             return np.empty(0, np.int64)
         return matches
 
+    def count(self, query: str) -> int:
+        """Matching-doc count (the ES ``_count`` API): |match_set| — union
+        of ranked-term postings ∩ exact filters, no scoring, no fetch."""
+        return int(self.match_set(query).size)
+
     def facet_counts(self, query: str, facet_field: str) -> list[tuple[str, int]]:
         """Matching-doc counts per value of an exact field (the ES terms-
         aggregation analog; the reference's repository-level rollups run as
