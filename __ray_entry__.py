@@ -88,27 +88,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_search_facets": dp.q_search_facets,
         "q_facet_stats": dp.q_facet_stats,
         "q_best_fields": dp.q_best_fields,
-        # text analysis / training-data ops
+        # text analysis / training-data ops (SQL-oracled)
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
         "q_quality_features": dp.q_quality_features,
-        "q_langid": dp.q_langid,
         "q_dedup_exact": dp.q_dedup_exact,
-        "q_minhash_neardup": dp.q_minhash_neardup,
-        "q_minhash_components": dp.q_minhash_components,
-        "q_simhash_sample": dp.q_simhash_sample,
-        "q_simhash_neardup": dp.q_simhash_neardup,
         "q_fingerprints": dp.q_fingerprints,
         "q_ngram_jaccard": dp.q_ngram_jaccard,
         "q_pid_mint": dp.q_pid_mint,
         "q_embed_neardup": dp.q_embed_neardup,
-        # similarity search
+        # similarity search (SQL-oracled)
         "q_ann_top5": dp.q_ann_top5,
         "q_ivf_persisted": dp.q_ivf_persisted,
-        "q_ivf_overlap": dp.q_ivf_overlap,
-        # multimodal plumbing (stubbed decode kernel)
-        "q_image_pipeline": dp.q_image_pipeline,
-        "q_audio_pipeline": dp.q_audio_pipeline,
-        "q_video_pipeline": dp.q_video_pipeline,
         # M1-M11 extraction pipeline (JSON envelopes -> long format)
         "q_extract_entries": ex.q_extract_entries,
         "q_extract_edges": ex.q_extract_edges,
@@ -117,6 +107,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repo_fdo": ex.q_repo_fdo,
         "q_flatten_records": ex.q_flatten_records,
         "q_type_api_fixes": ex.q_type_api_fixes,
+        # ---- rows-only queries below this line (no SQL oracle by design:
+        # sketch / heuristic / recall / binary-decode semantics). They sit
+        # LAST so the driver's 50-entry CORRECTNESS cap never drops an
+        # oracled check in their favor.
+        "q_langid": dp.q_langid,
+        "q_minhash_neardup": dp.q_minhash_neardup,
+        "q_minhash_components": dp.q_minhash_components,
+        "q_simhash_sample": dp.q_simhash_sample,
+        "q_simhash_neardup": dp.q_simhash_neardup,
+        "q_ivf_overlap": dp.q_ivf_overlap,
+        # multimodal pipelines (REAL pure-numpy PNG/JPEG/WAV/AVI-MJPEG
+        # codecs; 1/3 of image payloads exercise the opaque-payload
+        # dispatch seam for native codecs)
+        "q_image_pipeline": dp.q_image_pipeline,
+        "q_audio_pipeline": dp.q_audio_pipeline,
+        "q_video_pipeline": dp.q_video_pipeline,
     }
 
 

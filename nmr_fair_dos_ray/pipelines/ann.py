@@ -424,7 +424,17 @@ def build_ivf_index(
     man_path = os.path.join(out_dir, "ivf_manifest.json")
     if os.path.exists(man_path):
         with open(man_path) as f:
-            return json.load(f)
+            man = json.load(f)
+        want = {"n_clusters": int(n_clusters), "vec_col": vec_col,
+                "id_col": id_col}
+        have = {k: man.get(k) for k in want}
+        if have != want:
+            raise ValueError(
+                f"existing IVF index at {out_dir} was built with {have}, "
+                f"but this call requested {want} — pass a fresh out_dir "
+                "or delete the stale index to rebuild"
+            )
+        return man
     os.makedirs(out_dir, exist_ok=True)
     vdir = os.path.join(out_dir, "vectors")
     if os.path.isdir(vdir):

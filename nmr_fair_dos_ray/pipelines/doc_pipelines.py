@@ -812,8 +812,11 @@ def q_pid_mint(sf_dir: str) -> pd.DataFrame:
 
 # -------------------------------------------------------------- multimodal
 def q_image_pipeline(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing: attach binary payloads → actor-pool decode (fake
-    kernel) → resize → shape stats. Rows-only oracle (decode is stubbed)."""
+    """Multimodal pipeline: attach binary payloads (2/3 real PNG/JPEG bytes,
+    1/3 deliberately opaque) → actor-pool decode — REAL pure-numpy PNG and
+    baseline-JPEG codecs (stages/multimodal.py, stages/jpeg.py); opaque
+    payloads exercise the dispatch seam where a native codec would plug in —
+    → resize → shape stats. Rows-only oracle (binary decode isn't SQL)."""
     from nmr_fair_dos_ray.stages.multimodal import (
         ImageDecodeStage, ImageResizeStage, attach_binary_payload,
     )

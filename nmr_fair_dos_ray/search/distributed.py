@@ -80,7 +80,15 @@ class ShardActor:
         )
         st["doc_ids_sorted"] = ids
         st["doclens_sorted"] = lens
-        self.reader = IndexReader.from_state(st)
+        # bound the per-node positional-cache aggregate: each actor gets
+        # 1/pool_size of the default single-reader budget, so budget×actors
+        # never exceeds one local reader's ceiling regardless of pool size
+        total = (IndexReader.POSITIONS_CACHE_BUDGET
+                 + IndexReader.P_ENDS_CACHE_BUDGET
+                 + IndexReader.P_KEYS_CACHE_BUDGET)
+        self.reader = IndexReader.from_state(
+            st, cache_budget_bytes=total // max(1, pool_size)
+        )
 
     def term_meta(self, terms: list[str]) -> dict:
         """{term: (df, max block contribution)} for owned terms — the cheap
@@ -700,9 +708,10 @@ class ShardedSearcher:
         the union of expansions scores as one disjunction — bit-equal to the
         local :meth:`Searcher.search_fuzzy`."""
         base, exact = self.tokenizer.tokenize_query(query)
+        docs_of = self._docs_of_many(exact) if exact else {}
         allowed: np.ndarray | None = None
         for t in exact:
-            docs = ray.get(self.actors[self._route(t)].exact_docs.remote(t))
+            docs = docs_of[t]
             allowed = docs if allowed is None else sorted_intersect(allowed, docs)
         futs = [
             a.expand_fuzzy.remote(t, max_edits)

@@ -112,15 +112,33 @@ class IndexReader:
     #: fall back to the per-query candidate path (checked at build time).
     POS_KEY_STRIDE = 1 << 22
 
-    def __init__(self, index_dir: str | None = None, *, state: dict | None = None):
+    def __init__(
+        self,
+        index_dir: str | None = None,
+        *,
+        state: dict | None = None,
+        cache_budget_bytes: int | None = None,
+    ):
+        if cache_budget_bytes is not None:
+            # scale the three positional-cache ceilings to a caller-chosen
+            # total (default 576 MB) — serving deployments with many actors
+            # per node bound the per-node aggregate via budget / pool_size
+            total = self.POSITIONS_CACHE_BUDGET + self.P_ENDS_CACHE_BUDGET \
+                + self.P_KEYS_CACHE_BUDGET
+            f = max(0.0, cache_budget_bytes / total)
+            self.POSITIONS_CACHE_BUDGET = int(self.POSITIONS_CACHE_BUDGET * f)
+            self.P_ENDS_CACHE_BUDGET = int(self.P_ENDS_CACHE_BUDGET * f)
+            self.P_KEYS_CACHE_BUDGET = int(self.P_KEYS_CACHE_BUDGET * f)
         if state is None:
             state = self.build_state(index_dir)
         self._state = state
         self._init_from_state(state)
 
     @classmethod
-    def from_state(cls, state: dict) -> "IndexReader":
-        return cls(None, state=state)
+    def from_state(
+        cls, state: dict, *, cache_budget_bytes: int | None = None
+    ) -> "IndexReader":
+        return cls(None, state=state, cache_budget_bytes=cache_budget_bytes)
 
     def to_state(self) -> dict:
         return self._state
@@ -1849,10 +1867,25 @@ def fetch_docs(
             dead = set(tomb.tolist())
             ids = [d for d in ids if d not in dead]
     if not ids:
-        schema_cols = columns or []
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         **{c: pa.array([], pa.string()) for c in schema_cols
-                            if c != "doc_id"}})
+        # empty result must carry the SAME schema as the non-empty case:
+        # derive column types from the doc store's parquet schema (metadata
+        # only — no row groups are read)
+        import pyarrow.dataset as pads
+
+        store_schema = pads.dataset(
+            os.path.join(index_dir, "docs"), format="parquet"
+        ).schema
+        want = ["doc_id"] + [
+            c for c in (columns if columns is not None
+                        else [n for n in store_schema.names if n != "doc_id"])
+            if c != "doc_id"
+        ]
+        fields = [
+            store_schema.field(c) if store_schema.get_field_index(c) >= 0
+            else pa.field(c, pa.string())
+            for c in want
+        ]
+        return pa.schema(fields).empty_table()
     cols = None
     if columns is not None:
         cols = ["doc_id"] + [c for c in columns if c != "doc_id"]

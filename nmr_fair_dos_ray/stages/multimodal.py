@@ -361,6 +361,11 @@ def _jfif_end(payload: bytes, i: int) -> int:
     while j + 1 < n:
         if payload[j] != 0xFF:
             raise ValueError("lost marker sync in MJPEG stream")
+        # legal JPEG padding: runs of 0xFF fill bytes before the marker code
+        while j + 1 < n and payload[j + 1] == 0xFF:
+            j += 1
+        if j + 1 >= n:
+            break
         m = payload[j + 1]
         if m == 0xD9:  # EOI
             return j + 2
