@@ -1,15 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` — flagship pipeline (fulltext index build + BM25 top-k) on
-sf0.001. ``queries()`` — 56 callables, one per implemented operator/pipeline
+sf0.001. ``queries()`` — 58 callables, one per implemented operator/pipeline
 from SURVEY.md §2 (incl. the M1-M11 extraction family, the round-3 document
-lifecycle, the prefix/fuzzy/query-string/snippet/proximity/best_fields
-search surface and the persisted-IVF similarity index) plus the
-training-data operators; each takes ``sf_dir`` and returns a DataFrame.
-``oracle_sql()`` — the DuckDB-equivalent SQL for the 47 SQL-expressible
-queries (same column names, same rounding); non-SQL-expressible pipelines
-(LSH bucketing, SimHash banding, heuristic language-ID, IVF recall,
-binary multimodal decode) are intentionally omitted there → rows-only check.
+lifecycle, the prefix/fuzzy/query-string/snippet/proximity (ordered AND
+unordered slop)/best_fields (tie_breaker too) search surface and the
+persisted-IVF similarity index) plus the training-data operators; each takes
+``sf_dir`` and returns a DataFrame. ``oracle_sql()`` — the DuckDB-equivalent
+SQL for the 50 SQL-expressible queries (same column names, same rounding),
+which sit FIRST in ``queries()`` so the driver's 50-entry CORRECTNESS cap
+covers exactly them; non-SQL-expressible pipelines (LSH bucketing, SimHash
+banding, IVF recall, binary multimodal decode) are intentionally omitted
+there → rows-only check.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing here
 calls ``ray.init()`` / ``ray.shutdown()``.
@@ -77,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exact_lookup": dp.q_exact_lookup,
         "q_phrase_search": dp.q_phrase_search,
         "q_near_search": dp.q_near_search,
+        "q_near_unordered": dp.q_near_unordered,
         "q_and_search": dp.q_and_search,
         "q_delete_search": dp.q_delete_search,
         "q_prefix_search": dp.q_prefix_search,
@@ -88,9 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_search_facets": dp.q_search_facets,
         "q_facet_stats": dp.q_facet_stats,
         "q_best_fields": dp.q_best_fields,
+        "q_best_fields_tb": dp.q_best_fields_tb,
         # text analysis / training-data ops (SQL-oracled)
         "q_token_stats_by_lang": dp.q_token_stats_by_lang,
         "q_quality_features": dp.q_quality_features,
+        "q_langid": dp.q_langid,
         "q_dedup_exact": dp.q_dedup_exact,
         "q_fingerprints": dp.q_fingerprints,
         "q_ngram_jaccard": dp.q_ngram_jaccard,
@@ -111,7 +116,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch / heuristic / recall / binary-decode semantics). They sit
         # LAST so the driver's 50-entry CORRECTNESS cap never drops an
         # oracled check in their favor.
-        "q_langid": dp.q_langid,
         "q_minhash_neardup": dp.q_minhash_neardup,
         "q_minhash_components": dp.q_minhash_components,
         "q_simhash_sample": dp.q_simhash_sample,
@@ -136,6 +140,69 @@ _TITLE_TOKENS = (
     "x -> x <> ''), 1, 8), ' ')), '[^a-z0-9]+'), x -> x <> '')"
 )
 _WS_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+# shared CTE block for the two best_fields oracles: per-field BM25
+# (text + derived title), each field with its own dl/avgdl/df
+_BEST_FIELDS_CTES = f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('data', 'pipeline', 'query')
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            s_text AS (
+                SELECT tf.doc_id,
+                       sum(
+                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       ) AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            ),
+            ttoks AS (
+                SELECT doc_id, unnest({_TITLE_TOKENS}) AS term FROM documents
+            ),
+            tdl AS (
+                SELECT d.doc_id, coalesce(t.n, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, count(*) AS n FROM ttoks GROUP BY doc_id
+                ) t ON d.doc_id = t.doc_id
+            ),
+            tstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM tdl),
+            ttf AS (
+                SELECT doc_id, term, count(*) AS tf FROM ttoks
+                WHERE term IN ('data', 'pipeline', 'query')
+                GROUP BY doc_id, term
+            ),
+            tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+            s_title AS (
+                SELECT ttf.doc_id,
+                       sum(
+                           ln(1 + (tstats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+                           * ttf.tf * (1.2 + 1)
+                           / (ttf.tf + 1.2 * (1 - 0.75 + 0.75 * tdl.dl / tstats.avgdl))
+                       ) AS score
+                FROM ttf
+                JOIN tdf ON ttf.term = tdf.term
+                JOIN tdl ON ttf.doc_id = tdl.doc_id
+                CROSS JOIN tstats
+                GROUP BY ttf.doc_id
+            ),
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -360,69 +427,29 @@ def oracle_sql() -> dict[str, str]:
         # multi_match best_fields: per-field BM25 (each field its OWN dl /
         # avgdl / df — the Lucene per-field model), merged by per-doc max
         # (dis_max, tie_breaker 0)
-        "q_best_fields": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
-            ),
-            dl AS (
-                SELECT d.doc_id, coalesce(t.n, 0) AS dl
-                FROM documents d LEFT JOIN (
-                    SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
-                ) t ON d.doc_id = t.doc_id
-            ),
-            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-            tf AS (
-                SELECT doc_id, term, count(*) AS tf FROM toks
-                WHERE term IN ('data', 'pipeline', 'query')
-                GROUP BY doc_id, term
-            ),
-            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-            s_text AS (
-                SELECT tf.doc_id,
-                       sum(
-                           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-                           * tf.tf * (1.2 + 1)
-                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-                       ) AS score
-                FROM tf
-                JOIN df ON tf.term = df.term
-                JOIN dl ON tf.doc_id = dl.doc_id
-                CROSS JOIN stats
-                GROUP BY tf.doc_id
-            ),
-            ttoks AS (
-                SELECT doc_id, unnest({_TITLE_TOKENS}) AS term FROM documents
-            ),
-            tdl AS (
-                SELECT d.doc_id, coalesce(t.n, 0) AS dl
-                FROM documents d LEFT JOIN (
-                    SELECT doc_id, count(*) AS n FROM ttoks GROUP BY doc_id
-                ) t ON d.doc_id = t.doc_id
-            ),
-            tstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM tdl),
-            ttf AS (
-                SELECT doc_id, term, count(*) AS tf FROM ttoks
-                WHERE term IN ('data', 'pipeline', 'query')
-                GROUP BY doc_id, term
-            ),
-            tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
-            s_title AS (
-                SELECT ttf.doc_id,
-                       sum(
-                           ln(1 + (tstats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
-                           * ttf.tf * (1.2 + 1)
-                           / (ttf.tf + 1.2 * (1 - 0.75 + 0.75 * tdl.dl / tstats.avgdl))
-                       ) AS score
-                FROM ttf
-                JOIN tdf ON ttf.term = tdf.term
-                JOIN tdl ON ttf.doc_id = tdl.doc_id
-                CROSS JOIN tstats
-                GROUP BY ttf.doc_id
-            ),
+        "q_best_fields": _BEST_FIELDS_CTES + """
             merged AS (
                 SELECT coalesce(s_text.doc_id, s_title.doc_id) AS doc_id,
                        greatest(coalesce(s_text.score, 0),
                                 coalesce(s_title.score, 0)) AS score
+                FROM s_text FULL OUTER JOIN s_title
+                  ON s_text.doc_id = s_title.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM (SELECT * FROM merged ORDER BY score DESC, doc_id LIMIT 10)
+        """,
+        # dis_max with tie_breaker 0.3: best + 0.3 * (sum - best) — the
+        # non-best field contributes a weighted share (engine: dismax_merge)
+        "q_best_fields_tb": _BEST_FIELDS_CTES + """
+            merged AS (
+                SELECT coalesce(s_text.doc_id, s_title.doc_id) AS doc_id,
+                       greatest(coalesce(s_text.score, 0),
+                                coalesce(s_title.score, 0))
+                       + 0.3 * (coalesce(s_text.score, 0)
+                                + coalesce(s_title.score, 0)
+                                - greatest(coalesce(s_text.score, 0),
+                                           coalesce(s_title.score, 0)))
+                           AS score
                 FROM s_text FULL OUTER JOIN s_title
                   ON s_text.doc_id = s_title.doc_id
             )
@@ -776,6 +803,28 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY n_chains DESC, b.doc_id LIMIT 10
             )
         """,
+        # unordered proximity: anchor = last query term ('query'); an anchor
+        # position matches when 'slow' occurs within slop+1 = 3 tokens on
+        # EITHER side — the both-order EXISTS join; n_anchors = distinct
+        # qualifying anchor positions
+        "q_near_unordered": f"""
+            WITH docs AS (
+                SELECT doc_id, {_TOKENS} AS l FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+                FROM docs
+            )
+            SELECT doc_id, n_anchors FROM (
+                SELECT b.doc_id AS doc_id, count(DISTINCT b.pos) AS n_anchors
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id
+                 AND b.pos >= a.pos - 3 AND b.pos <= a.pos + 3
+                WHERE a.term = 'slow' AND b.term = 'query'
+                GROUP BY b.doc_id
+                ORDER BY n_anchors DESC, b.doc_id LIMIT 10
+            )
+        """,
         "q_and_search": f"""
             WITH toks AS (
                 SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
@@ -844,6 +893,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(*) AS n_docs, sum(n)::BIGINT AS total_tokens
             FROM counts GROUP BY lang ORDER BY lang
+        """,
+        # language-ID: lowercased whitespace tokens, per-language stopword
+        # hit ratios, argmax with the engine's lexicographically-largest-lang
+        # tiebreak (QualityStage scans langs in DESC order, first max wins);
+        # 'unknown' when the best ratio is <= 0.03. Reproduces
+        # textops.QualityStage exactly (same double division).
+        "q_langid": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(list_filter(
+                           string_split_regex(text, '\s+'), x -> x <> ''),
+                           x -> lower(x)) AS toks
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                    len(list_filter(toks, x -> x IN ('le','la','les','et',
+                        'est','des','une','pour','dans','que'))) * 1.0
+                        / greatest(len(toks), 1) AS r_fr,
+                    len(list_filter(toks, x -> x IN ('el','la','los','de',
+                        'que','y','en','un','una','por'))) * 1.0
+                        / greatest(len(toks), 1) AS r_es,
+                    len(list_filter(toks, x -> x IN ('the','and','of','to',
+                        'in','is','that','for','with','as','are'))) * 1.0
+                        / greatest(len(toks), 1) AS r_en,
+                    len(list_filter(toks, x -> x IN ('der','die','das','und',
+                        'ist','nicht','mit','ein','eine','zu'))) * 1.0
+                        / greatest(len(toks), 1) AS r_de
+                FROM t
+            ),
+            g AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN greatest(r_fr, r_es, r_en, r_de) <= 0.03
+                            THEN 'unknown'
+                        WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de
+                            THEN 'fr'
+                        WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+                        WHEN r_en >= r_de THEN 'en'
+                        ELSE 'de' END AS lang_guess
+                FROM r
+            )
+            SELECT lang_guess, count(*) AS n_docs FROM g
+            GROUP BY lang_guess ORDER BY lang_guess
         """,
         "q_quality_features": f"""
             SELECT doc_id,
@@ -998,7 +1091,7 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard1
             FROM p ORDER BY pair_id
         """,
-        # q_langid, q_minhash_neardup, q_simhash_sample, q_ivf_overlap,
-        # q_image_pipeline: intentionally no SQL oracle (heuristic / sketch
-        # / binary-decode semantics) → rows-only check.
+        # q_minhash_neardup, q_simhash_sample, q_ivf_overlap,
+        # q_image_pipeline: intentionally no SQL oracle (sketch /
+        # binary-decode semantics) → rows-only check.
     }

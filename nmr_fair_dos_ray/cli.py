@@ -50,6 +50,7 @@ def cmd_build(args: argparse.Namespace) -> int:
         stored_cols=_cols(args.stored_cols),
         tokenizer_mode=args.tokenizer,
         num_shards=args.num_shards,
+        store_positions=args.positions,
     )
     t0 = time.time()
     man = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
@@ -88,7 +89,8 @@ def cmd_search(args: argparse.Namespace) -> int:
         elif mode == "phrase":
             hits = s.search_phrase(args.query, k=args.k)
         elif mode == "near":
-            hits = s.search_near(args.query, k=args.k, slop=args.slop)
+            hits = s.search_near(args.query, k=args.k, slop=args.slop,
+                                 ordered=not args.unordered)
         elif mode == "prefix":
             hits = s.search_prefix(args.query, k=args.k)
         elif mode == "regex":
@@ -168,6 +170,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--num-shards", type=int, default=32)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="store positional postings (enables phrase/near "
+                        "modes and snippet highlighting)")
     b.add_argument("--tokenizer", choices=("code", "simple"), default="code")
     b.add_argument("--content-col", default="content")
     b.add_argument("--id-col", default=None)
@@ -197,6 +202,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
     s.add_argument("--slop", type=int, default=0,
                    help="near mode: max extra tokens per consecutive gap")
+    s.add_argument("--unordered", action="store_true",
+                   help="near mode: order-free matching — every other term "
+                        "within slop+1 tokens of an anchor occurrence")
     s.add_argument("--tie-breaker", type=float, default=0.0,
                    help="best_fields: weight of non-best field scores")
     s.add_argument("--fetch", default="",

@@ -144,6 +144,27 @@ def q_best_fields(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_best_fields_tb(sf_dir: str) -> pd.DataFrame:
+    """``best_fields`` with ``tie_breaker`` 0.3 (the ES dis_max
+    tie_breaker): per doc ``max_f s_f + 0.3 * (sum_f s_f - max_f s_f)`` —
+    the non-best fields contribute a weighted share instead of being
+    discarded. Oracle: ``GREATEST + 0.3 * (sum - GREATEST)`` over the same
+    per-field BM25 CTEs."""
+    from nmr_fair_dos_ray.search.engine import best_fields_search
+
+    searchers = [
+        Searcher(IndexReader(documents_index(sf_dir))),
+        Searcher(IndexReader(documents_title_index(sf_dir))),
+    ]
+    hits = best_fields_search(searchers, BM25_QUERY, k=10, tie_breaker=0.3)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round_half_away(sc, 4) for _, sc in hits],
+        }
+    )
+
+
 def q_search_count(sf_dir: str) -> pd.DataFrame:
     """Matching-doc counts (ES ``_count``) for three queries — the match
     set |union of term postings ∩ exact filters| without scoring."""
@@ -419,6 +440,20 @@ def q_near_search(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_near_unordered(sf_dir: str) -> pd.DataFrame:
+    """Order-free proximity top-10 (the ``ordered=False`` selectable ES
+    slop semantics — Lucene sloppy phrases match reversed terms too):
+    every other distinct term within slop+1 tokens of an anchor (last
+    query term) occurrence, either side. SQL oracle: both-order EXISTS
+    join on ``abs(pa - pb) <= slop + 1`` (__ray_entry__)."""
+    idx = documents_index(sf_dir, positions=True)
+    s = Searcher(IndexReader(idx))
+    hits = s.search_near(PHRASE_QUERY, k=10, slop=2, ordered=False)
+    return pd.DataFrame(
+        {"doc_id": [d for d, _ in hits], "n_anchors": [n for _, n in hits]}
+    )
+
+
 def q_and_search(sf_dir: str) -> pd.DataFrame:
     """Conjunctive BM25 top-10 (ES bool.must analog): docs containing ALL
     query terms, scored identically to the disjunctive engine."""
@@ -546,7 +581,9 @@ def q_quality_features(sf_dir: str) -> pd.DataFrame:
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language-ID rollup (no SQL oracle — heuristic scoring)."""
+    """Heuristic language-ID rollup. SQL-oracled: the stopword-ratio argmax
+    (lexicographically-largest-lang tiebreak, unknown at ratio <= 0.03) is
+    reproduced exactly in DuckDB (see __ray_entry__.oracle_sql q_langid)."""
     from nmr_fair_dos_ray.pipelines.textops import quality_features
 
     docs = sized_read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])

@@ -471,24 +471,31 @@ class ShardedSearcher:
         docs_m, counts = self._phrase_match(phrase)
         return topk_counts(docs_m, counts, k)
 
-    def _near_match(self, phrase: str, slop: int) -> tuple[np.ndarray, np.ndarray]:
-        from nmr_fair_dos_ray.search.engine import near_intersect
+    def _near_match(
+        self, phrase: str, slop: int, ordered: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        from nmr_fair_dos_ray.search.engine import (
+            near_intersect, near_intersect_unordered,
+        )
 
         plists, terms = self._positional_plists(phrase)
         if plists is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        return near_intersect(terms, plists, slop)
+        if ordered:
+            return near_intersect(terms, plists, slop)
+        return near_intersect_unordered(terms, plists, slop)
 
     def search_near(
-        self, phrase: str, k: int = 10, slop: int = 0
+        self, phrase: str, k: int = 10, slop: int = 0, ordered: bool = True
     ) -> list[tuple[int, int]]:
-        """Distributed ordered-proximity top-k — bit-equal to the local
+        """Distributed proximity top-k — bit-equal to the local
         :meth:`Searcher.search_near`: same two-round candidate resolution
         as phrase (doc sets, then candidate-scoped positional RPCs), same
-        reachable-set DP (`near_intersect`)."""
+        position kernels (`near_intersect` / `near_intersect_unordered`
+        for ``ordered=False``)."""
         from nmr_fair_dos_ray.search.engine import topk_counts
 
-        docs_m, counts = self._near_match(phrase, slop)
+        docs_m, counts = self._near_match(phrase, slop, ordered)
         return topk_counts(docs_m, counts, k)
 
     def search_query(

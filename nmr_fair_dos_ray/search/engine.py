@@ -941,6 +941,56 @@ def near_intersect(
     return inter[ranks_m].astype(np.int64, copy=False), counts
 
 
+def near_intersect_unordered(
+    terms: list[str],
+    plists: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """UNORDERED proximity matching (the ``ordered=False`` selectable
+    analog of Lucene's sloppy-phrase order tolerance): the anchor is the
+    LAST distinct query term; an anchor position ``p`` matches when EVERY
+    other distinct query term occurs within ``[p - slop - 1, p + slop + 1]``
+    — order-free, both directions. For a two-term query this is exactly
+    the both-order EXISTS join (``abs(pa - pb) <= slop + 1``), which is how
+    the SQL oracle spells it. Duplicate query terms collapse (a documented
+    simplification vs Lucene's per-occurrence edit-distance slop). Returns
+    ``(sorted doc_ids, n_anchors)`` with n_anchors = distinct qualifying
+    anchor positions.
+
+    Distinct terms never share a token position, so the window test needs
+    no self-exclusion. Same composite rank-key trick as
+    :func:`near_intersect`; ``K >= maxpos + slop + 3`` keeps both window
+    edges inside the doc."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    uniq_ordered = list(dict.fromkeys(terms))
+    inter: np.ndarray | None = None
+    for t in uniq_ordered:
+        inter = (
+            plists[t][0] if inter is None
+            else sorted_intersect(inter, plists[t][0])
+        )
+        if inter.size == 0:
+            return empty
+    K = slop + 3 + max(
+        int(plists[t][2].max()) if plists[t][2].size else 0
+        for t in uniq_ordered
+    )
+    dt = np.int32 if inter.size * K < 2**31 - 2 else np.int64
+    _keys = _rank_key_builder(plists, inter, K, dt)
+    ka = _keys(uniq_ordered[-1])
+    mask = np.ones(ka.size, bool)
+    for t in uniq_ordered[:-1]:
+        kt = _keys(t)
+        lo = np.searchsorted(kt, ka - dt(slop + 1))
+        hi = np.searchsorted(kt, ka + dt(slop + 2))  # right-inclusive window
+        mask &= hi > lo
+    ka = ka[mask]
+    if ka.size == 0:
+        return empty
+    ranks_m, counts = run_length(ka // dt(K))
+    return inter[ranks_m].astype(np.int64, copy=False), counts
+
+
 def parse_query_string(query: str) -> list[tuple[str, str, str]]:
     """Tokenize the query-string grammar → ``[(sign, kind, body)]`` where
     sign ∈ {'', '+', '-'} and kind ∈ {'phrase', 'field', 'fuzzy', 'prefix',
@@ -1524,19 +1574,25 @@ class Searcher:
 
     # ------------------------------------------------------------ proximity
     def search_near(
-        self, phrase: str, k: int = 10, slop: int = 0
+        self, phrase: str, k: int = 10, slop: int = 0, ordered: bool = True
     ) -> list[tuple[int, int]]:
-        """Ordered proximity top-k (the ES ``match_phrase`` + ``slop``
-        analog, with documented simplified semantics: terms must appear IN
-        ORDER and each consecutive gap may span at most ``slop + 1``
-        tokens; ``slop=0`` is bit-equal to :meth:`search_phrase`). Ranked
-        by (chain count desc, doc_id asc); count = distinct chain end
-        positions — SQL-expressible as EXISTS-joined position inequalities
-        (any-choice chain semantics, see :func:`near_intersect`)."""
-        docs_m, counts = self._near_match(phrase, slop)
+        """Proximity top-k (the ES ``match_phrase`` + ``slop`` analog, with
+        documented simplified semantics). ``ordered=True`` (default): terms
+        must appear IN ORDER with each consecutive gap ≤ ``slop + 1``
+        tokens; ``slop=0`` is bit-equal to :meth:`search_phrase`; count =
+        distinct chain end positions (:func:`near_intersect`).
+        ``ordered=False``: Lucene-style order tolerance — every other
+        distinct term within ``slop + 1`` tokens of an anchor (last-term)
+        occurrence, either side; count = distinct qualifying anchor
+        positions (:func:`near_intersect_unordered`). Both ranked by
+        (count desc, doc_id asc) and SQL-expressible as EXISTS-joined
+        position inequalities (both-order joins for unordered)."""
+        docs_m, counts = self._near_match(phrase, slop, ordered)
         return topk_counts(docs_m, counts, k)
 
-    def _near_match(self, phrase: str, slop: int) -> tuple[np.ndarray, np.ndarray]:
+    def _near_match(
+        self, phrase: str, slop: int, ordered: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
         r = self.r
         if not r.has_positions:
             raise ValueError(
@@ -1570,19 +1626,37 @@ class Searcher:
                     break
                 keys[t] = km[0]
             if keys is not None:
-                reach = keys[terms[0]]
-                for t in terms[1:]:
+                if ordered:
+                    reach = keys[terms[0]]
+                    for t in terms[1:]:
+                        kt = keys[t]
+                        lo = np.searchsorted(reach, kt - (slop + 1))
+                        hi = np.searchsorted(reach, kt)
+                        reach = kt[hi > lo]
+                        if reach.size == 0:
+                            return empty
+                    return run_length(reach // r.POS_KEY_STRIDE)
+                # unordered on cached keys: same both-edge window as
+                # near_intersect_unordered (edges stay in-doc because
+                # maxpos + slop + 2 <= STRIDE was checked above)
+                uniq_ordered = list(dict.fromkeys(terms))
+                ka = keys[uniq_ordered[-1]]
+                mask = np.ones(ka.size, bool)
+                for t in uniq_ordered[:-1]:
                     kt = keys[t]
-                    lo = np.searchsorted(reach, kt - (slop + 1))
-                    hi = np.searchsorted(reach, kt)
-                    reach = kt[hi > lo]
-                    if reach.size == 0:
-                        return empty
-                return run_length(reach // r.POS_KEY_STRIDE)
+                    lo = np.searchsorted(kt, ka - (slop + 1))
+                    hi = np.searchsorted(kt, ka + (slop + 2))
+                    mask &= hi > lo
+                ka = ka[mask]
+                if ka.size == 0:
+                    return empty
+                return run_length(ka // r.POS_KEY_STRIDE)
         plists = self._candidate_plists(uniq, inter, postings)
         if plists is None:
             return empty
-        return near_intersect(terms, plists, slop)
+        if ordered:
+            return near_intersect(terms, plists, slop)
+        return near_intersect_unordered(terms, plists, slop)
 
     # ---------------------------------------------------------------- facets
     def match_set(self, query: str) -> np.ndarray:

@@ -84,3 +84,40 @@ def test_no_match_and_exact_filter(two_fields):
     got = best_fields_search([sa, sb], f"config {repo_term}", k=1000)
     allowed = set(sa.r.postings(repo_term)[0].tolist())
     assert got and all(d in allowed for d, _ in got)
+
+
+DIR_C = "/tmp/nmr_fair_dos_ray/test_bf_repo"
+
+
+@pytest.fixture(scope="module")
+def three_fields(two_fields, sf_unit):
+    """Adds a third single-field index (repo tokens) over the same doc_id
+    space — the >=3-field dis_max case where sum - max aggregates TWO
+    non-best fields."""
+    shutil.rmtree(DIR_C, ignore_errors=True)
+    build_index(sf_unit["corpus"], DIR_C, IndexConfig(
+        token_cols=("repo",), field_cols=("repo",), stored_cols=("repo",),
+        num_shards=4,
+    ))
+    sa, sb = two_fields
+    return sa, sb, Searcher(IndexReader(DIR_C))
+
+
+def test_three_field_tie_breaker(three_fields):
+    sa, sb, sc = three_fields
+    q = "config python merge"
+    tb = 0.3
+    maps = [_full_map(s, q) for s in (sa, sb, sc)]
+    assert sum(bool(m) for m in maps) >= 2, "need >=2 matching fields"
+    want = {}
+    for d in set().union(*maps):
+        scores = np.array([m.get(d, 0.0) for m in maps], np.float64)
+        best = float(scores.max())
+        want[d] = best + tb * (float(scores.sum()) - best)
+    got = best_fields_search([sa, sb, sc], q, k=100_000, tie_breaker=tb)
+    assert dict(got) == pytest.approx(want)
+    keys = [(-sc_, d) for d, sc_ in got]
+    assert keys == sorted(keys)
+    # the tie_breaker must actually move some score vs plain dis_max
+    got0 = dict(best_fields_search([sa, sb, sc], q, k=100_000))
+    assert any(abs(got0[d] - s) > 1e-12 for d, s in got)

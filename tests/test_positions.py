@@ -265,3 +265,96 @@ def test_sharded_near_matches_local(pos_index):
                     s.search_near(phrase, k=20, slop=slop), (phrase, slop)
     finally:
         pool.shutdown()
+
+
+# ----------------------------------------------------- unordered proximity
+def _brute_near_unordered(streams, words, slop, k):
+    """Anchor-window semantics in plain Python: an anchor (last distinct
+    term) position counts when every other distinct term occurs within
+    slop+1 tokens on either side."""
+    uniq = list(dict.fromkeys(words))
+    anchor, others = uniq[-1], uniq[:-1]
+    out = []
+    for d, st in streams.items():
+        anchors = [
+            p for p in st.get(anchor, [])
+            if all(
+                any(abs(p - q) <= slop + 1 for q in st.get(w, []))
+                for w in others
+            )
+        ]
+        if anchors:
+            out.append((d, len(anchors)))
+    out.sort(key=lambda h: (-h[1], h[0]))
+    return out[:k]
+
+
+def test_near_unordered_matches_brute_force(pos_index):
+    r, r_salt, fx = pos_index
+    streams = _streams(fx)
+    tok = Tokenizer("code")
+    for phrase in PHRASES:
+        words = tok.tokenize(phrase)
+        for slop in (0, 1, 2, 4):
+            exp = _brute_near_unordered(streams, words, slop, 20) if words else []
+            got = Searcher(r).search_near(phrase, k=20, slop=slop, ordered=False)
+            assert got == exp, (phrase, slop)
+            got_salt = Searcher(r_salt).search_near(
+                phrase, k=20, slop=slop, ordered=False
+            )
+            assert got_salt == exp, (phrase, slop)
+
+
+def test_near_unordered_superset_of_ordered(pos_index):
+    """Every ordered match doc also matches unordered at the same slop
+    (the unordered window contains the ordered chain's last gap for
+    two-term queries)."""
+    r, _, fx = pos_index
+    s = Searcher(r)
+    for phrase in PHRASES:
+        if len(set(Tokenizer("code").tokenize(phrase))) != 2:
+            continue
+        for slop in (0, 2):
+            ordered_docs = {d for d, _ in s.search_near(phrase, k=100, slop=slop)}
+            unordered_docs = {
+                d for d, _ in s.search_near(phrase, k=100, slop=slop,
+                                            ordered=False)
+            }
+            assert ordered_docs <= unordered_docs, (phrase, slop)
+
+
+def test_near_unordered_kernel_reversed_terms():
+    """A doc with the terms in REVERSE order matches only unordered: stream
+    'b . . a' — ordered a→b needs b after a; unordered anchors on b with a
+    within the window on the right."""
+    from nmr_fair_dos_ray.search.engine import (
+        near_intersect, near_intersect_unordered,
+    )
+
+    plists = {
+        "a": (np.array([0]), np.array([0, 1]), np.array([3])),
+        "b": (np.array([0]), np.array([0, 1]), np.array([0])),
+    }
+    docs, _ = near_intersect(["a", "b"], plists, slop=2)
+    assert docs.size == 0
+    docs_u, counts_u = near_intersect_unordered(["a", "b"], plists, slop=2)
+    assert docs_u.tolist() == [0] and counts_u.tolist() == [1]
+    # outside the window (|3-0| = 3 > slop+1 = 2) neither matches
+    docs_u1, _ = near_intersect_unordered(["a", "b"], plists, slop=1)
+    assert docs_u1.size == 0
+
+
+def test_sharded_near_unordered_matches_local(pos_index):
+    from nmr_fair_dos_ray.search.distributed import ShardedSearcher
+
+    r, _, fx = pos_index
+    s = Searcher(r)
+    pool = ShardedSearcher(DIR_POS, pool_size=2)
+    try:
+        for phrase in PHRASES:
+            for slop in (0, 2):
+                assert pool.search_near(phrase, k=20, slop=slop, ordered=False) \
+                    == s.search_near(phrase, k=20, slop=slop, ordered=False), \
+                    (phrase, slop)
+    finally:
+        pool.shutdown()
