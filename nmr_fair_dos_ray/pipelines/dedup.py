@@ -33,6 +33,16 @@ from nmr_fair_dos_ray.tokenizer import Tokenizer
 
 MINHASH_PERMS = 128
 LSH_BANDS = 32  # 32 bands × 4 rows
+
+#: all-pairs emission cap per LSH bucket. A bucket of s near-identical docs
+#: (boilerplate-heavy corpora keep these even after exact dedup) would emit
+#: O(s²) candidate pairs — one pathological bucket stalls its partition and
+#: floods the pair graph (VERDICT round-4 item 2). Above the cap the bucket
+#: emits a STAR around its min doc_id (s-1 pairs): connectivity — hence the
+#: connected-components output — is preserved for docs whose star edge
+#: passes verification, while the pair count stays linear. Below the cap
+#: behavior is exact all-pairs (every fixture/oracle bucket is far below).
+LSH_BUCKET_CAP = 256
 _MERSENNE = np.uint64((1 << 61) - 1)
 # NOTE: a Mersenne high-bit fold ((x>>61)+(x&M), exact since 2^61 ≡ 1 mod M)
 # was benchmarked against numpy's scalar %: the fold's extra temporaries lose
@@ -391,6 +401,12 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
         out_a, out_b = [], []
         for _, grp in g.groupby(["band_id", "band_hash"]):
             ids = np.sort(grp["doc_id"].to_numpy())
+            if ids.size > LSH_BUCKET_CAP:
+                # oversized bucket: star around the min doc — O(s) pairs,
+                # same connected component for verified members
+                out_a.append(np.full(ids.size - 1, ids[0], dtype=ids.dtype))
+                out_b.append(ids[1:])
+                continue
             iu, ju = np.triu_indices(ids.size, k=1)
             out_a.append(ids[iu])
             out_b.append(ids[ju])
@@ -690,7 +706,10 @@ def simhash_candidate_pairs(
     at least one band, so grouping by (band_id, band_value) finds every such
     pair — the SimHash analog of MinHash banding, one uniform groupby whose
     payload is 8 bytes/doc/band. Pairs are Hamming-verified in-bucket and
-    deduped across bands with a tiny pair groupby.
+    deduped across bands with a tiny pair groupby. Buckets above
+    :data:`LSH_BUCKET_CAP` emit a star around their min doc instead of all
+    pairs (pigeonhole completeness is traded for a linear bound there —
+    such buckets are near-identical boilerplate in practice).
     """
     n_bands = max_hamming + 1
     bits_per = 64 // n_bands
@@ -729,7 +748,12 @@ def simhash_candidate_pairs(
             )
         ids = g["doc_id"].to_numpy()
         sims = g["simhash"].to_numpy().view(np.uint64)
-        iu, ju = np.triu_indices(len(ids), k=1)
+        if ids.size > LSH_BUCKET_CAP:
+            # oversized bucket: star around the min doc (see LSH_BUCKET_CAP)
+            iu = np.zeros(ids.size - 1, dtype=np.int64)
+            ju = np.arange(1, ids.size, dtype=np.int64)
+        else:
+            iu, ju = np.triu_indices(len(ids), k=1)
         x = sims[iu] ^ sims[ju]
         # vectorized popcount (numpy has no intrinsic): 8-bit LUT over views
         lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
