@@ -150,6 +150,7 @@ class IndexReader:
         slot: int | None = None,
         pool_size: int | None = None,
         load_docs: bool = True,
+        doc_range: tuple[int, int] | None = None,
     ) -> dict:
         """Build the Arrow/numpy state dict for a local reader — or, with
         ``slot``/``pool_size``, for ONE term-sharded serving slot: only shard
@@ -158,7 +159,23 @@ class IndexReader:
         ~1/pool_size of the index in the SAME zero-copy layout the local
         reader uses (no dict-of-pylists; VERDICT round-1 item 8).
         ``load_docs=False`` skips the doclen table for callers that inject a
-        broadcast copy."""
+        broadcast copy.
+
+        ``doc_range=(lo, hi)`` builds a DOC-PARTITIONED slice instead (the
+        ES/Lucene shard model — all terms, the doc_ids in ``[lo, hi)``):
+        per term, only the posting BLOCKS intersecting the range are kept
+        (block doc_base/doc_last metadata prunes without decoding), the
+        positional stream is byte-trimmed at the kept-block boundary,
+        champion lists are filtered to the range, and the doclen table /
+        tombstone segments load statistics-pruned to the kept blocks'
+        physical span. Boundary blocks are kept WHOLE (streams stay
+        aligned); their out-of-range postings are masked at query time by
+        :meth:`deleted_mask` — exactly the tombstone mechanism, so every
+        query path inherits the range. Global stats (n_docs, avgdl, df)
+        stay corpus-wide: per-doc scores are bit-equal to the full local
+        reader's. Mutually exclusive with ``slot``."""
+        if doc_range is not None and slot is not None:
+            raise ValueError("doc_range and slot sharding are exclusive")
         with open(os.path.join(index_dir, "manifest.json")) as f:
             manifest = json.load(f)
         num_shards = int(manifest["config"]["num_shards"])
@@ -225,9 +242,18 @@ class IndexReader:
                 b_docs=flat.field("docs"),
                 b_tfs=flat.field("tfs"),
             )
+        if doc_range is not None:
+            st = _slice_state_to_doc_range(st, int(doc_range[0]), int(doc_range[1]))
         if load_docs:
             docs_dir = os.path.join(index_dir, "docs")
-            docs = pq.read_table(docs_dir, columns=["doc_id", "doclen"], memory_map=True)
+            filters = None
+            if doc_range is not None:
+                plo, phi = st["phys_range"]
+                # statistics-pruned read: only files/row groups whose doc_id
+                # range intersects the slice's physical span are opened
+                filters = [("doc_id", ">=", int(plo)), ("doc_id", "<=", int(phi))]
+            docs = pq.read_table(docs_dir, columns=["doc_id", "doclen"],
+                                 memory_map=True, filters=filters)
             ids = docs["doc_id"].to_numpy(zero_copy_only=False)
             order = np.argsort(ids, kind="stable")
             st["doc_ids_sorted"] = ids[order]
@@ -241,7 +267,11 @@ class IndexReader:
         # range-scoped readers can prune segments unopened.
         from nmr_fair_dos_ray.pipelines.lifecycle import read_tombstones
 
-        arr = read_tombstones(index_dir)
+        if doc_range is not None:
+            plo, phi = st["phys_range"]
+            arr = read_tombstones(index_dir, lo=int(plo), hi=int(phi))
+        else:
+            arr = read_tombstones(index_dir)
         st["tomb"] = arr if arr.size else None
         return st
 
@@ -301,6 +331,9 @@ class IndexReader:
         self.blocks_decoded = 0  # cumulative; see _decode_range
         self._tid_cache: dict[str, int | None] = {}
         self._tomb = st.get("tomb")  # sorted unique np.int64 doc_ids or None
+        # doc-partitioned slice bounds [lo, hi): boundary-block postings
+        # outside the range are masked by deleted_mask, like tombstones
+        self._doc_range = st.get("doc_range")
         self._fuzzy_del: dict[int, dict[str, list[int]]] = {}  # per max_edits
         self.terms = _TermsView(self)
         self._doc_ids_sorted = st["doc_ids_sorted"]
@@ -378,20 +411,30 @@ class IndexReader:
         return doc_ids, tfs
 
     def deleted_mask(self, docs: np.ndarray) -> np.ndarray | None:
-        """Which of ``docs`` are tombstoned (deleted) — bool mask, or None
-        when the index has no tombstones / none of ``docs`` are deleted.
+        """Which of ``docs`` are tombstoned (deleted) OR outside this
+        reader's doc-partition range — bool mask, or None when nothing
+        masks.
 
         Delete semantics (Lucene-style, pipelines/lifecycle.py): tombstoned
         docs are excluded from every result set, but global stats (df, n_docs,
         avgdl) stay FROZEN until a rebuild — live docs keep bit-identical
-        scores through delete and compaction."""
-        t = self._tomb
-        if t is None or docs.size == 0:
+        scores through delete and compaction. A doc-partitioned slice
+        (``build_state(doc_range=...)``) masks its boundary blocks'
+        out-of-range postings through the SAME seam, so every query path
+        that honors deletes honors the range too."""
+        if docs.size == 0:
             return None
-        pos = np.searchsorted(t, docs)
-        hit = pos < t.size
-        hit[hit] = t[pos[hit]] == docs[hit]
-        return hit if hit.any() else None
+        t = self._tomb
+        hit: np.ndarray | None = None
+        if t is not None:
+            pos = np.searchsorted(t, docs)
+            hit = pos < t.size
+            hit[hit] = t[pos[hit]] == docs[hit]
+        dr = self._doc_range
+        if dr is not None:
+            oob = (docs < dr[0]) | (docs >= dr[1])
+            hit = oob if hit is None else (hit | oob)
+        return hit if hit is not None and hit.any() else None
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Full decoded (doc_ids, tfs) of a term (doc_id-sorted, tombstoned
@@ -1099,6 +1142,102 @@ def _binary_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return offs, data
 
 
+def _slice_state_to_doc_range(st: dict, lo: int, hi: int) -> dict:
+    """Slice a full reader state to the doc partition ``[lo, hi)``: keep
+    only the posting blocks intersecting the range (whole — boundary bleed
+    is masked at query time by ``deleted_mask``), byte-trim each positional
+    stream at its kept-block posting boundary, filter champion lists to the
+    range, and drop terms with no remaining blocks. Pure metadata
+    arithmetic plus varint decodes of the DROPPED prefix blocks' tf streams
+    (to count positional values); kept blocks are never re-encoded, so
+    decode paths, caches and the cursor machinery behave exactly as in a
+    full reader. ``df`` stays the stored GLOBAL value — scores are
+    bit-equal to the corpus-wide reader's."""
+    boff = st["boff"]
+    n_terms = boff.size - 1
+    out = dict(st)
+    out["doc_range"] = (int(lo), int(hi))
+    if n_terms == 0:
+        out["phys_range"] = (int(lo), max(int(lo), int(hi) - 1))
+        return out
+    b_base, b_last = st["b_base"], st["b_last"]
+    keep = (b_last >= lo) & (b_base < hi)
+    counts_old = np.diff(boff)
+    seg = np.repeat(np.arange(n_terms, dtype=np.int64), counts_old)
+    counts_new = np.zeros(n_terms, np.int64)
+    np.add.at(counts_new, seg[keep], 1)
+    term_keep = counts_new > 0
+
+    pos = st["pos_stream"]
+    new_pos_list = None
+    if pos is not None:
+        tfs_offs, tfs_data = _binary_views(st["b_tfs"])
+        p_offs, p_data = _binary_views(pos)
+        b_n = st["b_n"]
+        new_pos_list = []
+        for i in np.flatnonzero(term_keep):
+            j0, j1 = int(boff[i]), int(boff[i + 1])
+            s0, s1 = int(p_offs[i]), int(p_offs[i + 1])
+            seg_bytes = p_data[s0:s1]
+            ki = keep[j0:j1]
+            if s1 == s0 or ki.all():
+                new_pos_list.append(seg_bytes.tobytes())
+                continue
+            k0 = int(np.argmax(ki))
+            k1 = len(ki) - int(np.argmax(ki[::-1]))
+            n_pre = int(b_n[j0:j0 + k0].sum())
+            n_keep_post = int(b_n[j0 + k0:j0 + k1].sum())
+            n_vals_pre = int(varint_decode(
+                tfs_data[tfs_offs[j0]:tfs_offs[j0 + k0]].tobytes(), n_pre
+            ).sum()) if n_pre else 0
+            n_vals_keep = int(varint_decode(
+                tfs_data[tfs_offs[j0 + k0]:tfs_offs[j0 + k1]].tobytes(),
+                n_keep_post,
+            ).sum())
+            # value-end skip scan (high bit clear = last byte of a varint)
+            ends = np.flatnonzero((seg_bytes & 0x80) == 0)
+            b0 = 0 if n_vals_pre == 0 else int(ends[n_vals_pre - 1]) + 1
+            b1 = int(ends[n_vals_pre + n_vals_keep - 1]) + 1
+            new_pos_list.append(seg_bytes[b0:b1].tobytes())
+
+    keep_pa = pa.array(keep)
+    tk_pa = pa.array(term_keep)
+    out["terms"] = st["terms"].filter(tk_pa)
+    out["order"] = (
+        pc.sort_indices(out["terms"]).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    out["df"] = st["df"][term_keep]
+    out["boff"] = np.concatenate(
+        [[0], np.cumsum(counts_new[term_keep])]
+    ).astype(np.int64)
+    for kk in ("b_base", "b_last", "b_n", "b_max", "b_maxtf"):
+        out[kk] = st[kk][keep]
+    out["b_docs"] = st["b_docs"].filter(keep_pa)
+    out["b_tfs"] = st["b_tfs"].filter(keep_pa)
+    if new_pos_list is not None:
+        out["pos_stream"] = pa.array(new_pos_list, type=pos.type)
+    if st.get("c_off") is not None:
+        c_off, c_docs, c_tfn = st["c_off"], st["c_docs"], st["c_tfn"]
+        cmask = (c_docs >= lo) & (c_docs < hi)
+        cseg = np.repeat(np.arange(n_terms, dtype=np.int64), np.diff(c_off))
+        c_counts = np.zeros(n_terms, np.int64)
+        np.add.at(c_counts, cseg[cmask], 1)
+        out["c_docs"] = c_docs[cmask]
+        out["c_tfn"] = c_tfn[cmask]
+        out["c_off"] = np.concatenate(
+            [[0], np.cumsum(c_counts[term_keep])]
+        ).astype(np.int64)
+    kept_base, kept_last = b_base[keep], b_last[keep]
+    phys_lo = int(min(lo, kept_base.min())) if kept_base.size else int(lo)
+    phys_hi = (
+        int(max(hi - 1, kept_last.max())) if kept_last.size
+        else max(int(lo), int(hi) - 1)
+    )
+    out["phys_range"] = (phys_lo, phys_hi)
+    return out
+
+
 class _Cursor:
     """Span-level posting cursor for block-max WAND: skips whole blocks via
     the doc_last skip array and decodes SPANS of blocks (multi-block, one
@@ -1133,6 +1272,10 @@ class _Cursor:
             self.docs, self.tfs = cached
             self.s_lo, self.s_hi = 0, self.nb
             self.pi = 0
+            # cached postings are MASKED (tombstones / doc-range): a term
+            # whose surviving postings are empty must start exhausted
+            if self.docs.size == 0:
+                self.exhausted = True
         else:
             self._span(0, 1)
 
@@ -1177,8 +1320,17 @@ class _Cursor:
         if self.exhausted or self.docs[self.pi] >= target:
             return
         if target <= self.lasts[self.s_hi - 1]:
-            self.pi = int(np.searchsorted(self.docs, target, side="left"))
-            return
+            pi = int(np.searchsorted(self.docs, target, side="left"))
+            if pi < self.docs.size:
+                self.pi = pi
+                return
+            # MASKED cached postings (tombstones / doc-range) can end
+            # before the raw doc_last metadata — exhaust instead of
+            # pointing past the array (raw spans always contain a posting
+            # up to their doc_last, so they never reach here)
+            if self.s_hi >= self.nb:
+                self.exhausted = True
+                return
         nbi = int(np.searchsorted(self.lasts, target, side="left"))
         if nbi >= self.nb:
             self.exhausted = True
