@@ -150,6 +150,16 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_refresh_stats(args: argparse.Namespace) -> int:
+    from nmr_fair_dos_ray.pipelines.lifecycle import refresh_stats
+
+    t0 = time.time()
+    out = refresh_stats(args.index)
+    out["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     from nmr_fair_dos_ray.search.engine import IndexReader
 
@@ -231,6 +241,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--index", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    rs = sub.add_parser(
+        "refresh-stats",
+        help="unfreeze global stats after compact: recompute n_docs/avgdl/"
+             "df and rewrite block maxes metadata-only (rankings equal a "
+             "full rebuild; champion lists dropped)",
+    )
+    rs.add_argument("--index", required=True)
+    rs.set_defaults(fn=cmd_refresh_stats)
 
     st = sub.add_parser("stats", help="print index stats")
     st.add_argument("--index", required=True)

@@ -513,3 +513,146 @@ def compact_index(index_dir: str) -> dict:
     man.stage("compact").update(status="done", **out)
     man.save()
     return out
+
+
+def refresh_stats(index_dir: str) -> dict:
+    """Opt-in metadata pass that UNFREEZES global stats after compaction —
+    the middle ground between frozen-stats deletes and a full rebuild
+    (VERDICT round-4 item 7).
+
+    Recomputes, WITHOUT decoding a single posting:
+      * ``n_docs`` / ``avgdl`` / ``sum_doclen`` from the (compacted) doc
+        store;
+      * per-term ``df`` as the sum of its blocks' ``n`` counts (compaction
+        already expunged dead postings, so physical count == live df);
+      * per-block ``max_score = idf_new * max_tf_norm * scale`` where
+        ``scale = max(1, avgdl_new / avgdl_old)`` — ``max_tf_norm`` (the
+        idf-free factor stored at build time, codec.py) absorbs the new
+        idf exactly, and the scale factor keeps the bound a TRUE upper
+        bound under the new avgdl (tf_norm grows by at most
+        avgdl_new/avgdl_old when avgdl grows, and shrinks when it
+        shrinks), so BMW stays lossless. ``max_tf_norm`` is rewritten
+        scaled to preserve the ``max_score == idf * max_tf_norm``
+        invariant.
+
+    Champion lists are DROPPED: their stored tf_norm values are exact
+    score contributions under the old avgdl and would inflate the BMW
+    floor under the new one (over-pruning). A rebuild restores them.
+
+    Rankings after refresh are bit-equal to a full rebuild over the
+    surviving corpus (same postings, doclens and stats ⇒ same per-doc
+    scores; block maxes only prune) — tested in tests/test_lifecycle.py.
+
+    Requires a compacted index (no outstanding tombstones): refreshing with
+    tombstones present would count dead docs into df/avgdl. Per-file
+    rewrites are atomic (tmp + rename); a crashed refresh re-runs safely —
+    re-scaling an already-rewritten file only loosens its bounds (scale
+    ≥ 1), never invalidates them, and the manifest (written LAST) flips
+    the stats exactly once."""
+    import ray.data as rd
+
+    from nmr_fair_dos_ray.search.bm25 import bm25_idf
+
+    tomb = read_tombstones(index_dir)
+    if tomb.size:
+        raise ValueError(
+            "refresh_stats requires a compacted index: run compact_index() "
+            "first (outstanding tombstones would fold dead docs into the "
+            "refreshed df / n_docs / avgdl)"
+        )
+    man_path = os.path.join(index_dir, "manifest.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+    stats = manifest["stats"]
+    docs = pq.read_table(
+        os.path.join(index_dir, "docs"), columns=["doclen"]
+    )
+    n_docs_new = int(docs.num_rows)
+    if n_docs_new == 0:
+        raise ValueError("doc store is empty; nothing to refresh")
+    sum_dl_new = int(pc.sum(docs["doclen"]).as_py() or 0)
+    avgdl_new = sum_dl_new / n_docs_new
+    avgdl_old = float(stats["avgdl"])
+    scale = max(1.0, avgdl_new / avgdl_old)
+
+    shards_dir = os.path.join(index_dir, "shards")
+    shard_files = sorted(
+        os.path.join(shards_dir, p) for p in os.listdir(shards_dir)
+        if p.endswith(".parquet")
+    )
+
+    def refresh_file(batch: pa.Table) -> pa.Table:
+        rows = []
+        for path in batch["path"].to_pylist():
+            tbl = pq.read_table(path)
+            blocks = tbl["blocks"].combine_chunks()
+            flat = blocks.flatten()
+            offs = blocks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            b_n = flat.field("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            # df = live postings per term (post-compaction physical count);
+            # prefix-sum difference handles zero-block terms cleanly
+            cs = np.concatenate([[0], np.cumsum(b_n)])
+            df_new = cs[offs[1:]] - cs[offs[:-1]]
+            idf = np.array(
+                [bm25_idf(int(d), n_docs_new) for d in df_new], np.float64
+            )
+            tfn = flat.field("max_tf_norm").to_numpy(zero_copy_only=False)
+            new_tfn = tfn * scale
+            new_max = np.repeat(idf, np.diff(offs)) * new_tfn
+            struct = pa.StructArray.from_arrays(
+                [
+                    flat.field("doc_base"), flat.field("doc_last"),
+                    flat.field("n"),
+                    pa.array(new_max, pa.float64()),
+                    pa.array(new_tfn, pa.float64()),
+                    flat.field("docs"), flat.field("tfs"),
+                ],
+                names=["doc_base", "doc_last", "n", "max_score",
+                       "max_tf_norm", "docs", "tfs"],
+            )
+            new_blocks = pa.ListArray.from_arrays(blocks.offsets, struct)
+            cols = {}
+            for name in tbl.column_names:
+                if name == "blocks":
+                    cols[name] = new_blocks
+                elif name == "df":
+                    cols[name] = pa.array(df_new, pa.int64())
+                elif name in ("champ_docs", "champ_tfn"):
+                    continue  # stale under the new avgdl — dropped
+                else:
+                    cols[name] = tbl[name]
+            new_tbl = pa.table(cols)
+            tmp = path + f".refresh-{os.getpid()}"
+            pq.write_table(new_tbl, tmp)
+            os.replace(tmp, path)
+            rows.append({"path": path, "n_terms": len(tbl),
+                         "n_postings": int(b_n.sum())})
+        return pa.Table.from_pylist(rows)
+
+    res = (
+        rd.from_items([{"path": p} for p in shard_files])
+        .map_batches(refresh_file, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = {
+        "files": int(len(res)),
+        "n_docs": n_docs_new,
+        "avgdl": round(avgdl_new, 6),
+        "n_postings": int(res["n_postings"].sum()),
+        "bound_scale": round(scale, 6),
+    }
+    stats.update(
+        n_docs=n_docs_new, sum_doclen=sum_dl_new, avgdl=avgdl_new,
+        n_postings=out["n_postings"],
+    )
+    manifest["config"]["champion_m"] = 0
+    tmp = man_path + f".refresh-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, man_path)
+    from nmr_fair_dos_ray.state.manifest import Manifest
+
+    man = Manifest(index_dir)
+    man.stage("refresh_stats").update(status="done", **out)
+    man.save()
+    return out

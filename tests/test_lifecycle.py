@@ -326,3 +326,60 @@ def test_tombstone_range_reads_random(idx):
             if (lo is None or x >= lo) and (hi is None or x <= hi)
         )
         assert got.tolist() == want, (lo, hi)
+
+
+def test_refresh_stats_equals_rebuild(sf_unit, tmp_path):
+    """delete → compact → refresh_stats must produce rankings bit-equal to
+    a FULL REBUILD over the surviving corpus (same postings + doclens +
+    unfrozen stats ⇒ same per-doc scores; block maxes only prune), across
+    BMW, TAAT, phrase and facets — the opt-in alternative to frozen stats
+    (VERDICT round-4 item 7)."""
+    from nmr_fair_dos_ray.pipelines.lifecycle import compact_index, refresh_stats
+
+    corpus = pq.read_table(sf_unit["corpus"])
+    corpus = corpus.append_column(
+        "did", pa.array(np.arange(corpus.num_rows, dtype=np.int64))
+    )
+    src = str(tmp_path / "corpus_ids.parquet")
+    pq.write_table(corpus, src)
+    cfg = IndexConfig(id_col="did", **BASE)
+
+    idx_a = str(tmp_path / "idx_refresh")
+    build_index(src, idx_a, cfg)
+    pre = Searcher(IndexReader(idx_a))
+    victims = sorted(
+        {d for q in QUERIES[:2] for d, _ in pre.search(q, k=4)}
+    )
+    assert victims
+    # refresh before compaction must refuse (tombstones present)
+    delete_docs(idx_a, victims)
+    with pytest.raises(ValueError, match="compact"):
+        refresh_stats(idx_a)
+    compact_index(idx_a)
+    out = refresh_stats(idx_a)
+    assert out["n_docs"] == corpus.num_rows - len(victims)
+
+    # rebuild over the surviving corpus (same explicit ids)
+    keep = ~np.isin(corpus["did"].to_numpy(), np.array(victims))
+    src_b = str(tmp_path / "corpus_survivors.parquet")
+    pq.write_table(corpus.filter(pa.array(keep)), src_b)
+    idx_b = str(tmp_path / "idx_rebuild")
+    build_index(src_b, idx_b, cfg)
+
+    ra, rb = IndexReader(idx_a), IndexReader(idx_b)
+    assert ra.n_docs == rb.n_docs
+    assert ra.avgdl == pytest.approx(rb.avgdl, abs=0, rel=0)
+    sa, sb = Searcher(ra), Searcher(rb)
+    for q in QUERIES:
+        assert sa.search(q, k=20, algorithm="bmw") == \
+            sb.search(q, k=20, algorithm="bmw"), q
+        assert sa.search(q, k=20, algorithm="taat") == \
+            sb.search(q, k=20, algorithm="taat"), q
+        assert sa.facet_counts(q, "lang") == sb.facet_counts(q, "lang"), q
+    assert sa.search_phrase("user name", k=20) == \
+        sb.search_phrase("user name", k=20)
+    # idempotent: a second refresh is a no-op for rankings
+    refresh_stats(idx_a)
+    sa2 = Searcher(IndexReader(idx_a))
+    for q in QUERIES:
+        assert sa2.search(q, k=20) == sb.search(q, k=20), q

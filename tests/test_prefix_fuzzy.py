@@ -230,3 +230,24 @@ def test_sharded_wildcard_matches_local(idx):
                 s.search_wildcard(pat, k=10), pat
     finally:
         pool.shutdown()
+
+
+def test_fuzzy_deletion_index_is_byte_bounded(idx):
+    """The SymSpell index must be numpy hash arrays (16 B/entry), not a
+    Python dict of variant strings — the round-3 layout grew unbounded with
+    vocabulary (VERDICT round-4 item 3)."""
+    import numpy as np
+
+    idx.expand_fuzzy("user", max_edits=1)  # builds lazily
+    h, t = idx._fuzzy_del[1]
+    assert isinstance(h, np.ndarray) and isinstance(t, np.ndarray)
+    assert h.itemsize + t.itemsize == 16
+    n_entries = h.size
+    # every dictionary term contributes len+1 variants at e=1 (plus itself)
+    vocab = [x for x in idx.terms if ":" not in x]
+    expected = sum(len(set([x] ) | {x[:i] + x[i+1:] for i in range(len(x))})
+                   for x in vocab)
+    assert n_entries == expected
+    # 16 B per entry, and sorted for searchsorted lookups
+    assert (h.nbytes + t.nbytes) == 16 * n_entries
+    assert bool(np.all(np.diff(h) >= 0))
