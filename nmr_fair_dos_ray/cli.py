@@ -160,6 +160,22 @@ def cmd_refresh_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_harvest(args: argparse.Namespace) -> int:
+    from datetime import datetime
+
+    from nmr_fair_dos_ray.pipelines.harvest import harvest_window
+
+    _ensure_ray()
+    out = harvest_window(
+        args.sf_dir, args.out, args.state_dir,
+        start=datetime.fromisoformat(args.start) if args.start else None,
+        end=datetime.fromisoformat(args.end) if args.end else None,
+        repo=args.repo,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     from nmr_fair_dos_ray.search.engine import IndexReader
 
@@ -250,6 +266,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     rs.add_argument("--index", required=True)
     rs.set_defaults(fn=cmd_refresh_stats)
+
+    hv = sub.add_parser(
+        "harvest",
+        help="incremental time-window harvest (reference pipeline "
+             "--start/--end + last_run watermark): list envelopes in the "
+             "window, extract, write one partition dir per window, advance "
+             "the watermark",
+    )
+    hv.add_argument("--sf-dir", required=True)
+    hv.add_argument("--out", required=True)
+    hv.add_argument("--state-dir", required=True,
+                    help="directory holding last_run_<source>.json")
+    hv.add_argument("--start", help="ISO timestamp (default: watermark)")
+    hv.add_argument("--end", help="ISO timestamp (default: newest record)")
+    hv.add_argument("--repo", choices=("chemotion", "nmrxiv"),
+                    help="restrict to one source (default: all)")
+    hv.set_defaults(fn=cmd_harvest)
 
     st = sub.add_parser("stats", help="print index stats")
     st.add_argument("--index", required=True)

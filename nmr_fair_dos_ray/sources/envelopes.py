@@ -218,11 +218,36 @@ def build_envelope(d: int) -> dict:
     return {"envelope_id": d, "repo": "nmrxiv", "payload": payload}
 
 
-def synthesize_envelopes(sf_dir: str) -> Dataset:
+def envelope_created(doc_ids) -> "pa.Array":
+    """Vectorized creation timestamp of each envelope — the same pure
+    function of doc_id that ``build_envelope`` embeds as ``dateCreated``
+    (``_EPOCH + 7 min × d``). This is the SOURCE-side time attribute the
+    harvest window filters on (the reference's listers take from/until
+    parameters and filter server-side; here the lister filters before any
+    payload is synthesized or parsed)."""
+    import numpy as np
+
+    d = np.asarray(doc_ids, np.int64)
+    delta = (d * (7 * 60 * 1_000_000)).astype("timedelta64[us]")
+    return pa.array(np.datetime64(_EPOCH, "us") + delta, pa.timestamp("us"))
+
+
+def synthesize_envelopes(
+    sf_dir: str,
+    start: datetime | None = None,
+    end: datetime | None = None,
+    repo: str | None = None,
+) -> Dataset:
     """documents → (envelope_id, repo, payload) Dataset, one row per doc.
 
     Reads ONLY doc_id (column-pruned); the envelope content is a pure
     function of doc_id so the corpus is reproducible across runs/oracles.
+
+    ``start``/``end`` bound the envelopes' creation time (half-open
+    ``[start, end)``) and ``repo`` restricts the source — both applied
+    BEFORE payload synthesis, the analog of the reference listers' server-
+    side date/repository filters (S1/S3): a harvest window never pays for
+    rows outside it.
     """
     import os
 
@@ -231,6 +256,28 @@ def synthesize_envelopes(sf_dir: str) -> Dataset:
     docs = sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
+    if start is not None or end is not None or repo is not None:
+        def window(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as _pc
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            created = envelope_created(ids)
+            mask = pa.array(np.ones(batch.num_rows, bool))
+            if start is not None:
+                mask = _pc.and_(mask, _pc.greater_equal(
+                    created, pa.scalar(start, pa.timestamp("us"))))
+            if end is not None:
+                mask = _pc.and_(mask, _pc.less(
+                    created, pa.scalar(end, pa.timestamp("us"))))
+            if repo is not None:
+                # source dispatch is a pure function of doc_id (kind = d%3)
+                is_chem = (ids % 3) < 2
+                mask = _pc.and_(mask, pa.array(
+                    is_chem if repo == "chemotion" else ~is_chem))
+            return batch.filter(mask)
+
+        docs = docs.map_batches(window, batch_format="pyarrow")
 
     def make(batch: pa.Table) -> pa.Table:
         rows = [build_envelope(int(d)) for d in batch["doc_id"].to_pylist()]
