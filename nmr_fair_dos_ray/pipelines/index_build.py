@@ -260,6 +260,10 @@ class Phase1Invert:
             )
 
         content = t[cfg.content_col].cast(pa.string())
+        # the one per-row loop on the build hot path: hashlib has no
+        # vectorized form. Measured: sha256 of the whole 150k-doc sf-bench
+        # corpus is 0.28 s single-threaded vs ~42 s of invert task CPU
+        # (<1% of the stage) — revisit only if invert ever dominates again
         sha = pa.array(
             [hashlib.sha256((s or "").encode("utf-8")).hexdigest()
              for s in content.to_pylist()],
