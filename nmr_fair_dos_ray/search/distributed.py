@@ -794,16 +794,26 @@ class DocShardActor:
     (/root/reference/src/nmr_FAIR_DOs/connectors/elasticsearch.py:234-313).
     """
 
-    def __init__(self, index_dir: str, lo: int, hi: int, pool_size: int = 1):
+    def __init__(self, index_dir: str, lo: int, hi: int, pool_size: int = 1,
+                 field_dirs: list[str] | None = None):
         from nmr_fair_dos_ray.search.engine import IndexReader, Searcher
 
         total = (IndexReader.POSITIONS_CACHE_BUDGET
                  + IndexReader.P_ENDS_CACHE_BUDGET
                  + IndexReader.P_KEYS_CACHE_BUDGET)
-        st = IndexReader.build_state(index_dir, doc_range=(lo, hi))
-        self.s = Searcher(IndexReader.from_state(
-            st, cache_budget_bytes=total // max(1, pool_size)
-        ))
+        budget = total // max(1, pool_size)
+
+        def _load(d: str) -> Searcher:
+            st = IndexReader.build_state(d, doc_range=(lo, hi))
+            return Searcher(IndexReader.from_state(
+                st, cache_budget_bytes=budget
+            ))
+
+        self.s = _load(index_dir)
+        # extra per-field indexes over the SAME doc_id space, each sliced to
+        # the same range — the multi_match best_fields surface stays local
+        # to the shard (dis-max per doc, then an O(pool×k) router merge)
+        self.fields = [self.s] + [_load(d) for d in (field_dirs or [])]
 
     def search(self, query: str, k: int, algorithm: str):
         return self.s.search(query, k=k, algorithm=algorithm)
@@ -838,6 +848,12 @@ class DocShardActor:
     def facet_counts(self, query: str, facet_field: str):
         return self.s.facet_counts(query, facet_field)
 
+    def best_fields(self, query: str, k: int, tie_breaker: float):
+        from nmr_fair_dos_ray.search.engine import best_fields_search
+
+        return best_fields_search(self.fields, query, k=k,
+                                  tie_breaker=tie_breaker)
+
 
 def _merge_ranked(parts, k: int):
     """Merge per-shard top-k lists by the engine's global comparator
@@ -869,7 +885,8 @@ class DocShardedSearcher:
     sharding remains the layout that minimizes per-query work for sparse
     vocabularies. Both hold ~1/pool of the postings per actor."""
 
-    def __init__(self, index_dir: str, pool_size: int = 4):
+    def __init__(self, index_dir: str, pool_size: int = 4,
+                 field_dirs: list[str] | None = None):
         ids, _lens, manifest = _doclen_state(index_dir)
         cfg = manifest["config"]
         self.tokenizer = Tokenizer(cfg["tokenizer_mode"])
@@ -880,7 +897,8 @@ class DocShardedSearcher:
         bounds.append(int(ids[-1]) + 1)
         self.ranges = [(bounds[i], bounds[i + 1]) for i in range(pool_size)]
         self.actors = [
-            DocShardActor.remote(index_dir, lo, hi, pool_size)
+            DocShardActor.remote(index_dir, lo, hi, pool_size,
+                                 field_dirs=field_dirs)
             for lo, hi in self.ranges
         ]
 
@@ -939,6 +957,18 @@ class DocShardedSearcher:
     def search_query(self, query: str, k: int = 10, max_edits: int = 1):
         return _merge_ranked(
             ray.get([a.search_query.remote(query, k, max_edits)
+                     for a in self.actors]), k
+        )
+
+    def best_fields(self, query: str, k: int = 10, tie_breaker: float = 0.0):
+        """Distributed ``multi_match best_fields`` over the range pool: each
+        actor dis-maxes its range's per-field scores locally (requires
+        ``field_dirs`` at pool construction — extra same-doc-space field
+        indexes), so the merge stays O(pool×k) — unlike the term-sharded
+        ``best_fields_search_sharded``, whose per-field score_map payloads
+        are match-set-sized."""
+        return _merge_ranked(
+            ray.get([a.best_fields.remote(query, k, tie_breaker)
                      for a in self.actors]), k
         )
 

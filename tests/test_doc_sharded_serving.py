@@ -192,3 +192,29 @@ def test_cursor_masked_cache_exhaustion_regression(doc_sharded):
         full = local.search(q, k=100_000, algorithm="taat")
         want = [(d, sc) for d, sc in full if lo <= d < hi][:10]
         assert got == want, q
+
+
+def test_doc_sharded_best_fields_identical_to_local(sf_unit):
+    """Multi-field dis-max over the range pool: each actor holds ALL field
+    slices for its range, so the router merge stays O(pool*k)."""
+    from nmr_fair_dos_ray.search.engine import best_fields_search
+
+    dirs = {}
+    for col in ("path", "lang"):
+        d = f"/tmp/nmr_fair_dos_ray/test_bf_docsharded_{col}"
+        shutil.rmtree(d, ignore_errors=True)
+        build_index(sf_unit["corpus"], d, IndexConfig(
+            token_cols=(col,), field_cols=("repo",), stored_cols=("repo",),
+            num_shards=4, block_size=16,
+        ))
+        dirs[col] = d
+    locals_ = [Searcher(IndexReader(dirs[c])) for c in ("path", "lang")]
+    pool = DocShardedSearcher(dirs["path"], pool_size=3,
+                              field_dirs=[dirs["lang"]])
+    try:
+        for q in ("config python merge", "def return", "zzqxnope"):
+            for tb in (0.0, 0.3):
+                assert pool.best_fields(q, k=20, tie_breaker=tb) == \
+                    best_fields_search(locals_, q, k=20, tie_breaker=tb), (q, tb)
+    finally:
+        pool.shutdown()
