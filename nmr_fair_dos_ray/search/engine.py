@@ -2219,7 +2219,7 @@ class QueryScorer:
 
     def __init__(self, index_dir: str | None = None, k: int = 10,
                  algorithm: str = "bmw", index_ref=None, result_cache: int = 0,
-                 mode: str = "bm25", slop: int = 0):
+                 mode: str = "bm25", slop: int = 0, ordered: bool = True):
         if index_ref is not None:
             import ray
 
@@ -2234,6 +2234,7 @@ class QueryScorer:
         # grammar). Per-row override via a "mode" column.
         self.mode = mode
         self.slop = int(slop)
+        self.ordered = bool(ordered)  # near mode: ordered vs window slop
         # optional per-actor query-result LRU (the reference's Elasticsearch
         # enables its request cache by default; this is the engine analog —
         # OFF by default so benchmark headlines stay uncached/comparable)
@@ -2249,7 +2250,8 @@ class QueryScorer:
         if mode == "phrase":
             return s.search_phrase(query, k=k)
         if mode == "near":
-            return s.search_near(query, k=k, slop=self.slop)
+            return s.search_near(query, k=k, slop=self.slop,
+                                 ordered=self.ordered)
         if mode == "prefix":
             return s.search_prefix(query, k=k)
         if mode == "regex":
