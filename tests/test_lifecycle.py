@@ -383,3 +383,49 @@ def test_refresh_stats_equals_rebuild(sf_unit, tmp_path):
     sa2 = Searcher(IndexReader(idx_a))
     for q in QUERIES:
         assert sa2.search(q, k=20) == sb.search(q, k=20), q
+
+
+def test_cursor_next_geq_on_masked_cached_postings(sf_unit, tmp_path):
+    """Regression (found by the doc-range work; reachable with tombstones
+    alone): a cursor whose resident postings are the MASKED cached list can
+    be asked to advance to a target that lies between the masked end and
+    the raw doc_last metadata — it must exhaust instead of pointing past
+    the array. Driven at the cursor level for determinism, plus an
+    end-to-end BMW-equals-TAAT sweep over tail-tombstoned indexes."""
+    from nmr_fair_dos_ray.search.engine import _Cursor
+
+    idx = str(tmp_path / "idx_tailtomb")
+    build_index(sf_unit["corpus"], idx, IndexConfig(
+        token_cols=("path", "lang"), field_cols=("repo",),
+        stored_cols=("repo",), num_shards=4, block_size=16,
+        champion_m=0,
+    ))
+    r = IndexReader(idx)
+    terms = [t for t in r.terms if ":" not in t]
+    hot = max(terms, key=lambda t: r.postings(t)[0].size)
+    docs_hot = r.postings(hot)[0]
+    assert docs_hot.size > 16, "need a multi-block term"
+    victims = docs_hot[-8:].tolist()
+    delete_docs(idx, victims)
+    r2 = IndexReader(idx)
+    r2.postings(hot)  # warm the MASKED cache (cursor will adopt it)
+    tid = r2._lookup(hot)
+    c = _Cursor(r2, hot, tid, r2.idf(hot))
+    raw_last = int(r2._b_last[int(r2._boff[tid + 1]) - 1])
+    masked_last = int(r2.postings(hot)[0][-1])
+    assert masked_last < raw_last  # the hazardous zone exists
+    c.next_geq(masked_last + 1)   # target inside the zone
+    assert c.exhausted            # old code: pi == len(docs) -> IndexError
+    # fully-masked cached list starts exhausted
+    all_docs = r.postings(hot)[0].tolist()
+    delete_docs(idx, all_docs)
+    r3 = IndexReader(idx)
+    r3.postings(hot)
+    c3 = _Cursor(r3, hot, r3._lookup(hot), r3.idf(hot))
+    assert c3.exhausted
+    # end-to-end: BMW == TAAT on the tombstoned index (r2 snapshot)
+    s2 = Searcher(r2)
+    other = sorted(terms, key=lambda t: -r.postings(t)[0].size)[1]
+    q = f"{hot} {other}"
+    assert s2.search(q, k=5, algorithm="bmw") == \
+        s2.search(q, k=5, algorithm="taat")
