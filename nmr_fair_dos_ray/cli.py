@@ -75,6 +75,46 @@ def cmd_search(args: argparse.Namespace) -> int:
 
     dirs = args.index if isinstance(args.index, list) else [args.index]
     mode = args.mode
+    if args.pool > 1 and mode != "best_fields":
+        # actor-pool serving from the CLI: doc-partitioned (default, O(pool×k)
+        # router merge) or term-sharded — results bit-equal to local
+        from nmr_fair_dos_ray.search.distributed import (
+            DocShardedSearcher, ShardedSearcher,
+        )
+
+        _ensure_ray()
+        cls = (DocShardedSearcher if args.sharding == "doc"
+               else ShardedSearcher)
+        pool = cls(dirs[0], pool_size=args.pool)
+        try:
+            if mode == "bm25":
+                hits = pool.search(args.query, k=args.k)
+            elif mode == "and":
+                hits = pool.search_and(args.query, k=args.k)
+            elif mode == "phrase":
+                hits = pool.search_phrase(args.query, k=args.k)
+            elif mode == "near":
+                hits = pool.search_near(args.query, k=args.k, slop=args.slop,
+                                        ordered=not args.unordered)
+            elif mode == "prefix":
+                hits = pool.search_prefix(args.query, k=args.k)
+            elif mode == "regex":
+                hits = pool.search_regex(args.query, k=args.k)
+            elif mode == "fuzzy":
+                hits = pool.search_fuzzy(args.query, k=args.k,
+                                         max_edits=args.max_edits)
+            elif mode == "wildcard":
+                raise SystemExit("wildcard mode is local-only; drop --pool")
+            else:
+                hits = pool.search_query(args.query, k=args.k)
+        finally:
+            pool.shutdown()
+        rows = [{"rank": i + 1, "doc_id": d, "score": sc}
+                for i, (d, sc) in enumerate(hits)]
+        print(json.dumps({"query": args.query, "mode": mode,
+                          "sharding": args.sharding, "pool": args.pool,
+                          "hits": rows}))
+        return 0
     if mode == "best_fields":
         searchers = [Searcher(IndexReader(d)) for d in dirs]
         hits = best_fields_search(
@@ -226,6 +266,12 @@ def main(argv: list[str] | None = None) -> int:
              "--index",
     )
     s.add_argument("--max-edits", type=int, default=1, choices=(1, 2))
+    s.add_argument("--pool", type=int, default=1,
+                   help="serve from an actor pool of this size instead of "
+                        "a local reader (results identical)")
+    s.add_argument("--sharding", choices=("doc", "term"), default="doc",
+                   help="pool layout: doc ranges (O(pool*k) merge) or "
+                        "term hash")
     s.add_argument("--slop", type=int, default=0,
                    help="near mode: max extra tokens per consecutive gap")
     s.add_argument("--unordered", action="store_true",
