@@ -188,10 +188,14 @@ def run_bench() -> dict:
 
     shard_queries = (queries * (500 // max(1, len(queries)) + 1))[:500]
     sharding = {}
-    for mode, pool in (
-        ("term_sharded", ShardedSearcher(idx_dir, pool_size=8)),
-        ("doc_sharded", DocShardedSearcher(idx_dir, pool_size=8)),
+    for mode, cls in (
+        ("term_sharded", ShardedSearcher),
+        ("doc_sharded", DocShardedSearcher),
     ):
+        # construct INSIDE the loop: the first mode must be measured without
+        # the second pool's 8 actors resident, and a failure in one mode
+        # must not leak the other's actors
+        pool = cls(idx_dir, pool_size=8)
         try:
             for q in shard_queries[:32]:  # warm actors + caches
                 pool.search(q, k=10)

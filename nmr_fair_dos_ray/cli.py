@@ -75,19 +75,36 @@ def cmd_search(args: argparse.Namespace) -> int:
 
     dirs = args.index if isinstance(args.index, list) else [args.index]
     mode = args.mode
-    if args.pool > 1 and mode != "best_fields":
+    pool_meta = {}
+    if args.pool > 1:
         # actor-pool serving from the CLI: doc-partitioned (default, O(pool×k)
-        # router merge) or term-sharded — results bit-equal to local
+        # router merge) or term-sharded — results bit-equal to local. Falls
+        # through to the shared fetch-phase/print code below.
         from nmr_fair_dos_ray.search.distributed import (
             DocShardedSearcher, ShardedSearcher,
         )
 
         _ensure_ray()
-        cls = (DocShardedSearcher if args.sharding == "doc"
-               else ShardedSearcher)
-        pool = cls(dirs[0], pool_size=args.pool)
+        if mode == "wildcard":
+            raise SystemExit("wildcard mode is local-only; drop --pool")
+        if mode == "best_fields" and args.sharding != "doc":
+            raise SystemExit(
+                "best_fields with --pool needs --sharding doc (each actor "
+                "holds all field slices for its range)"
+            )
+        if args.sharding == "doc":
+            pool = DocShardedSearcher(dirs[0], pool_size=args.pool,
+                                      field_dirs=dirs[1:] or None)
+        else:
+            pool = ShardedSearcher(dirs[0], pool_size=args.pool)
         try:
             if mode == "bm25":
+                if args.algorithm != "bmw":
+                    raise SystemExit(
+                        "--algorithm applies to local serving; pooled "
+                        "results are bit-equal to bmw — drop --algorithm "
+                        "or --pool"
+                    )
                 hits = pool.search(args.query, k=args.k)
             elif mode == "and":
                 hits = pool.search_and(args.query, k=args.k)
@@ -103,19 +120,15 @@ def cmd_search(args: argparse.Namespace) -> int:
             elif mode == "fuzzy":
                 hits = pool.search_fuzzy(args.query, k=args.k,
                                          max_edits=args.max_edits)
-            elif mode == "wildcard":
-                raise SystemExit("wildcard mode is local-only; drop --pool")
+            elif mode == "best_fields":
+                hits = pool.best_fields(args.query, k=args.k,
+                                        tie_breaker=args.tie_breaker)
             else:
                 hits = pool.search_query(args.query, k=args.k)
         finally:
             pool.shutdown()
-        rows = [{"rank": i + 1, "doc_id": d, "score": sc}
-                for i, (d, sc) in enumerate(hits)]
-        print(json.dumps({"query": args.query, "mode": mode,
-                          "sharding": args.sharding, "pool": args.pool,
-                          "hits": rows}))
-        return 0
-    if mode == "best_fields":
+        pool_meta = {"sharding": args.sharding, "pool": args.pool}
+    elif mode == "best_fields":
         searchers = [Searcher(IndexReader(d)) for d in dirs]
         hits = best_fields_search(
             searchers, args.query, k=args.k, tie_breaker=args.tie_breaker
@@ -157,7 +170,7 @@ def cmd_search(args: argparse.Namespace) -> int:
             for c in cols:
                 r[c] = by_id.get(r["doc_id"], {}).get(c)
     print(json.dumps(
-        {"query": args.query, "mode": mode, "hits": rows}
+        {"query": args.query, "mode": mode, **pool_meta, "hits": rows}
     ))
     return 0
 

@@ -38,9 +38,12 @@ LSH_BANDS = 32  # 32 bands × 4 rows
 #: (boilerplate-heavy corpora keep these even after exact dedup) would emit
 #: O(s²) candidate pairs — one pathological bucket stalls its partition and
 #: floods the pair graph (VERDICT round-4 item 2). Above the cap the bucket
-#: emits a STAR around its min doc_id (s-1 pairs): connectivity — hence the
-#: connected-components output — is preserved for docs whose star edge
-#: passes verification, while the pair count stays linear. Below the cap
+#: emits a 3-CENTER STAR (min/median/max doc_id; ≤ 3(s-1) pairs before the
+#: cross-band pair dedup): connectivity — hence the connected-components
+#: output — is preserved for docs whose star edges pass verification, the
+#: pair count stays linear, and a single hash-collision outlier landing as
+#: one center cannot disconnect the bucket (its edges fail verification;
+#: the other centers' still connect the genuine members). Below the cap
 #: behavior is exact all-pairs (every fixture/oracle bucket is far below).
 LSH_BUCKET_CAP = 256
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -402,10 +405,17 @@ def minhash_candidate_pairs(docs: Dataset, text_col: str = "text",
         for _, grp in g.groupby(["band_id", "band_hash"]):
             ids = np.sort(grp["doc_id"].to_numpy())
             if ids.size > LSH_BUCKET_CAP:
-                # oversized bucket: star around the min doc — O(s) pairs,
-                # same connected component for verified members
-                out_a.append(np.full(ids.size - 1, ids[0], dtype=ids.dtype))
-                out_b.append(ids[1:])
+                # oversized bucket: 3-center star (min/median/max docs) —
+                # still O(s) pairs, and a single hash-collision OUTLIER
+                # landing as one center cannot disconnect the bucket's
+                # genuine near-dups (its star edges fail verification, the
+                # other centers' survive). Duplicate pairs across centers
+                # collapse in the downstream (a, b) groupby.
+                centers = np.unique(ids[[0, ids.size // 2, ids.size - 1]])
+                for c in centers:
+                    others = ids[ids != c]
+                    out_a.append(np.minimum(others, c))
+                    out_b.append(np.maximum(others, c))
                 continue
             iu, ju = np.triu_indices(ids.size, k=1)
             out_a.append(ids[iu])
@@ -707,9 +717,10 @@ def simhash_candidate_pairs(
     pair — the SimHash analog of MinHash banding, one uniform groupby whose
     payload is 8 bytes/doc/band. Pairs are Hamming-verified in-bucket and
     deduped across bands with a tiny pair groupby. Buckets above
-    :data:`LSH_BUCKET_CAP` emit a star around their min doc instead of all
-    pairs (pigeonhole completeness is traded for a linear bound there —
-    such buckets are near-identical boilerplate in practice).
+    :data:`LSH_BUCKET_CAP` emit a 3-center star (min/median/max) instead of
+    all pairs (pigeonhole completeness is traded for a linear bound there —
+    such buckets are near-identical boilerplate in practice, and three
+    centers keep one colliding outlier from disconnecting them).
     """
     n_bands = max_hamming + 1
     bits_per = 64 // n_bands
@@ -749,9 +760,13 @@ def simhash_candidate_pairs(
         ids = g["doc_id"].to_numpy()
         sims = g["simhash"].to_numpy().view(np.uint64)
         if ids.size > LSH_BUCKET_CAP:
-            # oversized bucket: star around the min doc (see LSH_BUCKET_CAP)
-            iu = np.zeros(ids.size - 1, dtype=np.int64)
-            ju = np.arange(1, ids.size, dtype=np.int64)
+            # oversized bucket: 3-center star (min/median/max — see
+            # LSH_BUCKET_CAP; SimHash bands are only 64/(h+1) bits, so a
+            # colliding outlier as a lone center is a live risk)
+            ci = np.unique([0, ids.size // 2, ids.size - 1])
+            idx = np.arange(ids.size, dtype=np.int64)
+            iu = np.concatenate([np.full(ids.size - 1, c) for c in ci])
+            ju = np.concatenate([idx[idx != c] for c in ci])
         else:
             iu, ju = np.triu_indices(len(ids), k=1)
         x = sims[iu] ^ sims[ju]
@@ -759,9 +774,11 @@ def simhash_candidate_pairs(
         lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
         ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
+        aa = ids[iu[keep]].astype(np.int64)
+        bb = ids[ju[keep]].astype(np.int64)
         return pd.DataFrame(
-            {"a": ids[iu[keep]].astype(np.int64),
-             "b": ids[ju[keep]].astype(np.int64),
+            # orient (a < b): star centers sit on either side of a pair
+            {"a": np.minimum(aa, bb), "b": np.maximum(aa, bb),
              "hamming": ham[keep]}
         )
 

@@ -63,10 +63,12 @@ def max_source_timestamp(sf_dir: str) -> datetime:
 
     from nmr_fair_dos_ray.sources.envelopes import envelope_created
 
+    import pyarrow.compute as pc
+
     t = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
-    max_id = int(max(t["doc_id"].to_pylist()))
+    max_id = int(pc.max(t["doc_id"]).as_py())
     created = envelope_created([max_id])[0].as_py()
     from datetime import timedelta
 
@@ -99,7 +101,12 @@ def harvest_window(
     if end <= start:
         return {"window": None, "n_rows": 0, "skipped": "empty window",
                 "start": start.isoformat(), "end": end.isoformat()}
-    tag = f"window={start.isoformat()}__{end.isoformat()}".replace(":", "-")
+    # the tag MUST carry the source: two repos harvesting the same time
+    # window must not share a partition directory (the second would be
+    # skipped as already-harvested while its watermark still advanced —
+    # silent permanent data loss)
+    tag = (f"source={source}/window={start.isoformat()}__{end.isoformat()}"
+           .replace(":", "-"))
     part_dir = os.path.join(out_dir, tag)
     done_marker = os.path.join(part_dir, "_DONE.json")
     if os.path.exists(done_marker):

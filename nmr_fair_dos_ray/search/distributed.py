@@ -801,7 +801,9 @@ class DocShardActor:
         total = (IndexReader.POSITIONS_CACHE_BUDGET
                  + IndexReader.P_ENDS_CACHE_BUDGET
                  + IndexReader.P_KEYS_CACHE_BUDGET)
-        budget = total // max(1, pool_size)
+        # bound the per-node aggregate across pool_size actors AND the
+        # 1 + len(field_dirs) readers each actor holds
+        budget = total // max(1, pool_size * (1 + len(field_dirs or [])))
 
         def _load(d: str) -> Searcher:
             st = IndexReader.build_state(d, doc_range=(lo, hi))
@@ -891,8 +893,15 @@ class DocShardedSearcher:
         cfg = manifest["config"]
         self.tokenizer = Tokenizer(cfg["tokenizer_mode"])
         self._has_positions = bool(cfg.get("store_positions", False))
-        self.pool_size = pool_size
         n = ids.size
+        if n == 0:
+            raise ValueError(
+                f"doc store of {index_dir} is empty; cannot doc-partition"
+            )
+        # degenerate quantile bounds (n < pool_size) would spawn empty-range
+        # actors — clamp instead
+        pool_size = min(pool_size, n)
+        self.pool_size = pool_size
         bounds = [int(ids[(i * n) // pool_size]) for i in range(pool_size)]
         bounds.append(int(ids[-1]) + 1)
         self.ranges = [(bounds[i], bounds[i + 1]) for i in range(pool_size)]

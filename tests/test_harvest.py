@@ -77,3 +77,23 @@ def test_repo_filter_prunes_at_source(tmp_path, ray_session):
     assert read_watermark(state, "all") is None
     with open(os.path.join(state, "last_run_chemotion.json")) as f:
         assert "last_run" in json.load(f)
+
+
+def test_same_window_different_sources_both_harvest(tmp_path, ray_session):
+    """Regression: the window tag must carry the source — two repos
+    harvesting the SAME time window must not share a partition directory
+    (the second was skipped as already-harvested while its watermark still
+    advanced: silent permanent data loss)."""
+    out, state = str(tmp_path / "h4"), str(tmp_path / "s4")
+    end = EPOCH + timedelta(minutes=7 * 200)
+    w_chem = harvest_window(SF, out, state, start=EPOCH, end=end,
+                            repo="chemotion")
+    w_nmr = harvest_window(SF, out, state, start=EPOCH, end=end,
+                           repo="nmrxiv")
+    assert "skipped" not in w_chem and "skipped" not in w_nmr
+    assert w_chem["window"] != w_nmr["window"]
+    rc = _rows(os.path.join(out, w_chem["window"]))
+    rn = _rows(os.path.join(out, w_nmr["window"]))
+    assert len(rc) and len(rn)
+    assert set(rc[rc.kind == "entry"].repo) == {"chemotion"}
+    assert set(rn[rn.kind == "entry"].repo) == {"nmrxiv"}
