@@ -399,9 +399,28 @@ def run_lifecycle_bench() -> dict:
     s2 = Searcher(IndexReader(f"{base}/idx"))
     qps_comp = pool_qps(s2)
     mism_comp = sum(s2.search(q, k=10) != expect_del[q] for q in eq_queries)
+
+    # round-5 leg: unfreeze stats (metadata-only pass, no posting decoded) —
+    # rankings shift to the post-delete corpus stats by design, so the
+    # assertion here is live-doc-only results + serving still healthy
+    from nmr_fair_dos_ray.pipelines.lifecycle import refresh_stats
+
+    t0 = time.time()
+    refresh_summary = refresh_stats(f"{base}/idx")
+    t_refresh = time.time() - t0
+    s3 = Searcher(IndexReader(f"{base}/idx"))
+    qps_refresh = pool_qps(s3)
+    dead_set = set(dead)
+    mism_refresh = sum(
+        any(d in dead_set for d, _ in s3.search(q, k=10)) for q in eq_queries
+    )
     ray.shutdown()
     return {
         "metric": "lifecycle_delete_compact",
+        "refresh_sec": round(t_refresh, 3),
+        "refresh_n_docs": refresh_summary["n_docs"],
+        "qps_refreshed": round(qps_refresh, 1),
+        "dead_docs_in_refreshed_results": int(mism_refresh),
         "n_docs": n_docs,
         "n_deleted": len(dead),
         "delete_sec": round(t_delete, 3),
