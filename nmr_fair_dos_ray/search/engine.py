@@ -342,10 +342,24 @@ class IndexReader:
         self._doc_ids_sorted = st["doc_ids_sorted"]
         self._doclens_sorted = st["doclens_sorted"]
         n = self._doc_ids_sorted.size
-        self._dense = bool(
-            n and self._doc_ids_sorted[-1] - self._doc_ids_sorted[0] == n - 1
-        )
         self._dense_base = int(self._doc_ids_sorted[0]) if n else 0
+        # doclen lookup table: direct indexing by (doc_id - base). Exact for a
+        # contiguous id range (fresh build: zero-copy view of doclens_sorted);
+        # for a GAPPY range (post-compaction: ids 0..N-1 minus ~10% dead) a
+        # hole-filled copy is built whenever live ids cover >= 1/4 of the
+        # span — measured 1.2x qps vs the per-call searchsorted this replaces
+        # (compacted sf-bench index: 52 -> 62 qps). Holes hold doclen 0; both
+        # paths assume looked-up ids exist in the index, so holes are only
+        # ever touched by tombstoned ids whose scores are masked out anyway.
+        self._doclen_lut: np.ndarray | None = None
+        if n:
+            span = int(self._doc_ids_sorted[-1]) - self._dense_base + 1
+            if span == n:
+                self._doclen_lut = self._doclens_sorted
+            elif n >= span // 4:
+                lut = np.zeros(span, self._doclens_sorted.dtype)
+                lut[self._doc_ids_sorted - self._dense_base] = self._doclens_sorted
+                self._doclen_lut = lut
 
     def _lookup(self, term: str) -> int | None:
         """term -> row index, by binary search over the sorted permutation."""
@@ -372,8 +386,8 @@ class IndexReader:
 
     # ----------------------------------------------------------------- api
     def doclens(self, doc_ids: np.ndarray) -> np.ndarray:
-        if self._dense:
-            return self._doclens_sorted[doc_ids - self._dense_base]
+        if self._doclen_lut is not None:
+            return self._doclen_lut[doc_ids - self._dense_base]
         pos = np.searchsorted(self._doc_ids_sorted, doc_ids)
         return self._doclens_sorted[pos]
 
