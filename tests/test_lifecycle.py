@@ -429,3 +429,42 @@ def test_cursor_next_geq_on_masked_cached_postings(sf_unit, tmp_path):
     q = f"{hot} {other}"
     assert s2.search(q, k=5, algorithm="bmw") == \
         s2.search(q, k=5, algorithm="taat")
+
+
+def test_doclen_lut_regimes(idx):
+    """The doclen lookup table must pick the right regime: zero-copy dense
+    view on a fresh build, hole-filled copy after compaction (ids gappy but
+    >= 1/4 dense), searchsorted fallback when too sparse — and every regime
+    must return the same doclens as a searchsorted over the stored pairs."""
+    from nmr_fair_dos_ray.pipelines.lifecycle import compact_index
+
+    r0 = IndexReader(DIR)
+    # fresh build: exactly dense -> the LUT IS doclens_sorted (no copy)
+    assert r0._doclen_lut is r0._doclens_sorted
+    ids0 = r0._doc_ids_sorted.copy()
+    dls0 = r0._doclens_sorted.copy()
+
+    victims = ids0[:: 7]  # ~14% of docs, including doc id 0 (shifts the base)
+    delete_docs(DIR, victims.tolist())
+    compact_index(DIR)
+
+    r1 = IndexReader(DIR)
+    # post-compaction: gappy -> hole-filled copy, not the sorted array itself
+    assert r1._doclen_lut is not None
+    assert r1._doclen_lut is not r1._doclens_sorted
+    assert r1._dense_base == int(r1._doc_ids_sorted[0]) != 0
+    survivors = r1._doc_ids_sorted
+    expect = dls0[np.searchsorted(ids0, survivors)]
+    assert np.array_equal(r1.doclens(survivors), expect)
+    # unsorted / repeated lookups hit the same values (direct indexing)
+    probe = survivors[[5, 2, 2, -1, 0]]
+    assert np.array_equal(r1.doclens(probe), expect[[5, 2, 2, -1, 0]])
+
+    # sparse regime: fake a state whose ids cover < 1/4 of the span -> no
+    # LUT (memory guard), searchsorted fallback returns identical values
+    st = dict(r1.to_state())
+    st["doc_ids_sorted"] = survivors * 5
+    st["doclens_sorted"] = expect
+    r2 = IndexReader.from_state(st)
+    assert r2._doclen_lut is None
+    assert np.array_equal(r2.doclens(survivors * 5), expect)
