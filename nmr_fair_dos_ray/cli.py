@@ -85,8 +85,6 @@ def cmd_search(args: argparse.Namespace) -> int:
         )
 
         _ensure_ray()
-        if mode == "wildcard":
-            raise SystemExit("wildcard mode is local-only; drop --pool")
         if mode == "best_fields" and args.sharding != "doc":
             raise SystemExit(
                 "best_fields with --pool needs --sharding doc (each actor "
@@ -117,6 +115,8 @@ def cmd_search(args: argparse.Namespace) -> int:
                 hits = pool.search_prefix(args.query, k=args.k)
             elif mode == "regex":
                 hits = pool.search_regex(args.query, k=args.k)
+            elif mode == "wildcard":
+                hits = pool.search_wildcard(args.query, k=args.k)
             elif mode == "fuzzy":
                 hits = pool.search_fuzzy(args.query, k=args.k,
                                          max_edits=args.max_edits)

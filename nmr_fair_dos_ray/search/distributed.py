@@ -957,6 +957,13 @@ class DocShardedSearcher:
             ray.get([a.search_regex.remote(pattern, k) for a in self.actors]), k
         )
 
+    def search_wildcard(self, pattern: str, k: int = 10):
+        """Distributed wildcard query (ES ``wildcard`` analog) — rewritten
+        onto :meth:`search_regex`, bit-equal to the local Searcher."""
+        from nmr_fair_dos_ray.search.engine import wildcard_to_regex
+
+        return self.search_regex(wildcard_to_regex(pattern), k)
+
     def search_fuzzy(self, query: str, k: int = 10, max_edits: int = 1):
         return _merge_ranked(
             ray.get([a.search_fuzzy.remote(query, k, max_edits)

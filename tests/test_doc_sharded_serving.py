@@ -64,6 +64,8 @@ def test_all_modes_identical_to_local(doc_sharded):
         # expansions + query-string grammar
         assert pool.search_prefix("conf", k=10) == local.search_prefix("conf", k=10)
         assert pool.search_regex("get.*", k=10) == local.search_regex("get.*", k=10)
+        assert pool.search_wildcard("get*", k=10) == \
+            local.search_wildcard("get*", k=10)
         assert pool.search_fuzzy("retrn merge", k=10) == \
             local.search_fuzzy("retrn merge", k=10)
         q = 'merge -lang:go user* +"user name"'
